@@ -1,0 +1,77 @@
+"""Benchmark: audio-seconds generated per wall second per chip (RTF).
+
+Runs the flagship Zonos-v0.1-transformer architecture (random weights — the
+checkpoint is not distributable with the repo) through the real jitted
+generate program and measures steady-state decode throughput.
+
+Prints ONE JSON line:
+  {"metric": "rtf_batch1", "value": N, "unit": "audio_sec/sec/chip",
+   "vs_baseline": N}
+vs_baseline is relative to the reference's headline ~2x real-time factor on
+an RTX 4090 (BASELINE.md: README.md:102).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+FRAME_RATE = 86.0  # DAC frames/sec (hop 512 @ 44.1 kHz)
+BASELINE_RTF = 2.0  # reference headline number (BASELINE.md)
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "258"))  # 3 s of audio
+    cond_len = int(os.environ.get("BENCH_COND_LEN", "64"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import GenerateStatics, Zonos, build_generate_fn
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    cfg = ZonosConfig.from_dict(TRANSFORMER_CONFIG_DICT)
+    model = Zonos(cfg, seed=0)
+    params = jax.device_put(model.params)
+
+    sampling = SamplingParams()  # default Zonos sampling (unified + rep penalty)
+    d = cfg.backbone.d_model
+    prefix = jax.device_put(
+        jax.random.normal(jax.random.key(1), (2 * batch, cond_len, d), jnp.bfloat16)
+    )
+    no_prefix = jnp.zeros((batch, cfg.num_codebooks, 0), jnp.int32)
+
+    def run(n_tokens: int, seed: int):
+        statics = GenerateStatics(
+            batch_size=batch, cond_len=cond_len, prefix_audio_len=0,
+            max_new_tokens=n_tokens, sampling=sampling,
+        )
+        fn = model._get_generate_fn(statics)
+        delayed, offset = fn(params, prefix, no_prefix, jnp.float32(2.0), jax.random.key(seed))
+        jax.block_until_ready(delayed)
+        return int(offset)
+
+    # Warmup/compile (short and full-length programs are distinct compiles).
+    run(steps, seed=0)
+    t0 = time.perf_counter()
+    offset = run(steps, seed=1)
+    dt = time.perf_counter() - t0
+
+    frames = offset - 1  # decoded delayed frames (includes the prefill sample)
+    audio_sec = frames / FRAME_RATE * batch
+    rtf = audio_sec / dt
+    result = {
+        "metric": f"rtf_batch{batch}",
+        "value": round(rtf, 3),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Transformer backbone tests: RoPE oracle, prefill/decode consistency, GQA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.config import BackboneConfig
+from zonos_tpu.models.backbone import (
+    KVCache,
+    init_transformer_params,
+    transformer_decode_step,
+    transformer_prefill,
+)
+from zonos_tpu.ops.rope import apply_rope, rope_table
+
+CFG = BackboneConfig(
+    d_model=64,
+    n_layer=2,
+    attn_mlp_d_intermediate=128,
+    attn_cfg={"num_heads": 4, "num_heads_kv": 2},
+)
+
+
+def test_rope_complex_oracle():
+    """Interleaved rotation == complex multiplication by e^{i t w}."""
+    D, S = 16, 5
+    cos, sin = rope_table(D, max_pos=32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, S, 2, D)).astype(np.float32)
+    got = np.asarray(apply_rope(jnp.asarray(x), cos[:S], sin[:S]))
+
+    inv_freq = 1.0 / (10000 ** (np.arange(0, D, 2) / D))
+    ang = np.outer(np.arange(S), inv_freq)  # [S, D/2]
+    z = x[..., 0::2] + 1j * x[..., 1::2]  # [1,S,2,D/2]
+    rot = z * np.exp(1j * ang)[None, :, None, :]
+    expect = np.empty_like(x)
+    expect[..., 0::2] = rot.real
+    expect[..., 1::2] = rot.imag
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_matches_stepwise_decode():
+    """Prefill over S tokens == prefill over S-3 + 3 single-token steps."""
+    key = jax.random.key(0)
+    params = init_transformer_params(key, CFG, dtype=jnp.float32)
+    B, S, S_max = 2, 9, 16
+    x = jax.random.normal(jax.random.key(1), (B, S, CFG.d_model), jnp.float32)
+
+    cache_a = KVCache.create(CFG, B, S_max, jnp.float32)
+    h_full, _ = transformer_prefill(CFG, params, x, cache_a)
+
+    cache_b = KVCache.create(CFG, B, S_max, jnp.float32)
+    split = S - 3
+    h_prefix, cache_b = transformer_prefill(CFG, params, x[:, :split], cache_b)
+    steps = []
+    for t in range(split, S):
+        h_t, cache_b = transformer_decode_step(CFG, params, x[:, t : t + 1], cache_b, jnp.int32(t))
+        steps.append(h_t)
+    h_steps = jnp.concatenate(steps, axis=1)
+
+    np.testing.assert_allclose(
+        np.asarray(h_full[:, split:]), np.asarray(h_steps), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_causality():
+    """Changing a later token must not affect earlier hidden states."""
+    params = init_transformer_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    B, S, S_max = 1, 8, 8
+    x = jax.random.normal(jax.random.key(2), (B, S, CFG.d_model), jnp.float32)
+    h1, _ = transformer_prefill(CFG, params, x, KVCache.create(CFG, B, S_max, jnp.float32))
+    x2 = x.at[:, -1].set(0.0)
+    h2, _ = transformer_prefill(CFG, params, x2, KVCache.create(CFG, B, S_max, jnp.float32))
+    np.testing.assert_allclose(np.asarray(h1[:, :-1]), np.asarray(h2[:, :-1]), rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(h1[:, -1]), np.asarray(h2[:, -1]))
+
+
+def test_gqa_head_sharing():
+    """With num_heads_kv < num_heads the cache stays at kv-head width."""
+    B, S_max = 1, 4
+    cache = KVCache.create(CFG, B, S_max)
+    assert cache.k.shape == (CFG.n_layer, B, 2, S_max, CFG.d_model // 4)

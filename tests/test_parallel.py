@@ -1,0 +1,59 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+
+def test_mesh_shapes():
+    from zonos_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(4, 2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_dryrun_8dev():
+    from zonos_tpu.parallel.dryrun import run_dryrun
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    run_dryrun(8)
+
+
+def test_tp_matches_single_device():
+    """A TP=2/DP=1 sharded forward must equal the unsharded forward."""
+    import copy
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.backbone import transformer_forward
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.parallel.mesh import make_mesh
+    from zonos_tpu.parallel.sharding import param_shardings, shard_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    cfg = ZonosConfig.from_dict(d)
+    model = Zonos(cfg, seed=0)
+    x = jax.random.normal(jax.random.key(1), (2, 6, 64), jnp.float32)
+
+    ref = transformer_forward(cfg.backbone, model.params["backbone"], x)
+
+    mesh = make_mesh(1, 2, jax.devices()[:2])
+    sharded = shard_params(mesh, model.params)
+    fn = jax.jit(
+        lambda p, x: transformer_forward(cfg.backbone, p["backbone"], x),
+        in_shardings=(param_shardings(mesh, model.params), NamedSharding(mesh, P())),
+    )
+    got = fn(sharded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)

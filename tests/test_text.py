@@ -1,0 +1,104 @@
+"""Text frontend tests: normalization goldens, tokenizer, G2P invariants."""
+
+import numpy as np
+
+from zonos_tpu.text import (
+    BOS_ID,
+    EOS_ID,
+    PAD_ID,
+    get_symbol_ids,
+    phonemize,
+    tokenize_phonemes,
+)
+from zonos_tpu.text.normalize import normalize_numbers, number_to_kanji
+from zonos_tpu.text.numbers_en import number_to_words, ordinal_to_words
+from zonos_tpu.text.symbols import SYMBOL_TO_ID, UNK_ID
+
+
+def test_number_words():
+    assert number_to_words(0) == "zero"
+    assert number_to_words(7) == "seven"
+    assert number_to_words(21) == "twenty-one"
+    assert number_to_words(105) == "one hundred five"
+    assert number_to_words(1000) == "one thousand"
+    assert number_to_words(1234567) == (
+        "one million two hundred thirty-four thousand five hundred sixty-seven"
+    )
+
+
+def test_ordinals():
+    assert ordinal_to_words(1) == "first"
+    assert ordinal_to_words(2) == "second"
+    assert ordinal_to_words(3) == "third"
+    assert ordinal_to_words(12) == "twelfth"
+    assert ordinal_to_words(21) == "twenty-first"
+    assert ordinal_to_words(30) == "thirtieth"
+    assert ordinal_to_words(100) == "one hundredth"
+
+
+def test_normalize_numbers_goldens():
+    # behaviors matching the reference frontend (zonos/conditioning.py:74-140)
+    assert normalize_numbers("I have 3 cats") == "I have three cats"
+    assert normalize_numbers("1,000 miles") == "one thousand miles"
+    assert normalize_numbers("$5") == "five dollars"
+    assert normalize_numbers("$1.50") == "one dollar, fifty cents"
+    assert normalize_numbers("£20 notes") == "twenty pounds notes"
+    # reference expands "3 point 14" digit groups: "three point fourteen"
+    assert normalize_numbers("3.14 pie") == "three point fourteen pie"
+    assert normalize_numbers("the 2nd time") == "the second time"
+    assert normalize_numbers("born in 1984") == "born in nineteen eighty-four"
+    assert normalize_numbers("year 2000") == "year two thousand"
+    assert normalize_numbers("in 2007") == "in two thousand seven"
+    assert normalize_numbers("in 1900") == "in nineteen hundred"
+
+
+def test_kanji_numbers():
+    assert number_to_kanji(0) == "零"
+    assert number_to_kanji(7) == "七"
+    assert number_to_kanji(42) == "四十二"
+    assert number_to_kanji(100) == "百"
+    assert number_to_kanji(2024) == "二千二十四"
+
+
+def test_symbol_table_layout():
+    # 4 specials then punctuation starting at ';' (ref zonos/conditioning.py:146-156)
+    assert SYMBOL_TO_ID[";"] == 4
+    assert get_symbol_ids("a")[0] == SYMBOL_TO_ID["a"]
+    assert get_symbol_ids("\x01") == [UNK_ID]
+
+
+def test_tokenize_left_pad():
+    ids, lengths = tokenize_phonemes(["ab", "a"])
+    assert ids.shape == (2, 4)
+    assert lengths == [4, 3]
+    assert ids[1, 0] == PAD_ID
+    assert ids[0, 0] == BOS_ID and ids[0, -1] == EOS_ID
+    np.testing.assert_array_equal(ids[1, 1:], [BOS_ID, SYMBOL_TO_ID["a"], EOS_ID])
+
+
+def test_phonemize_escape_passthrough():
+    out = phonemize([":phonemize(tomato)/təmeɪtoʊ/"], ["en-us"])
+    assert out == ["təmeɪtoʊ"]
+    out = phonemize(["say :phonemize/ɑɑ/ now"], ["en-us"])
+    assert "ɑɑ" in out[0]
+
+
+def test_phonemize_english_basics():
+    out = phonemize(["hello world"], ["en-us"])[0]
+    assert len(out) > 4
+    # every char must be representable in the symbol table
+    assert all(sid != UNK_ID for sid in get_symbol_ids(out.replace(" ", "")))
+    # punctuation preserved
+    assert phonemize(["stop."], ["en-us"])[0].endswith(".")
+
+
+def test_phonemize_deterministic_and_batched():
+    a = phonemize(["the quick brown fox", "hello"], ["en-us", "en-us"])
+    b = phonemize(["the quick brown fox", "hello"], ["en-us", "en-us"])
+    assert a == b and len(a) == 2
+
+
+def test_phonemize_other_languages():
+    for lang, text in [("es", "hola mundo"), ("de", "guten tag"), ("fr-fr", "bonjour")]:
+        out = phonemize([text], [lang])[0]
+        assert out, (lang, text)

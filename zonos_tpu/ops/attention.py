@@ -1,0 +1,97 @@
+"""Attention for prefill and cached single-token decode (GQA, RoPE'd inputs).
+
+Replaces torch SDPA / flash-attn in the reference (zonos/backbone/_torch.py:136).
+Two entry points:
+
+- :func:`prefill_attention` — full causal self-attention over the prompt.
+  XLA already emits a tiled flash-style fusion for this matmul-softmax-matmul
+  chain on TPU; sequence lengths here are ~100s-2700, well inside VMEM tiling.
+- :func:`decode_attention` — one query timestep against a static KV cache
+  with per-sample valid lengths.  This is the per-token hot op (~2 matvecs
+  per head per layer); it is deliberately written as two batched contractions
+  with an fp32 masked softmax between them so XLA maps it onto the MXU with
+  a single fused kernel.
+
+KV cache layout: ``[B, H_kv, S_max, head_dim]`` — sequence on the sublane
+axis and head_dim (=128 for the flagship config) on the lane axis, the native
+TPU tile orientation; appending a token is one ``dynamic_update_slice``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def update_kv_cache(
+    k_cache: jnp.ndarray,  # [B, H_kv, S_max, D]
+    v_cache: jnp.ndarray,
+    k_new: jnp.ndarray,  # [B, S_new, H_kv, D]
+    v_new: jnp.ndarray,
+    offset: jnp.ndarray,  # scalar int32: write position (same for all samples)
+):
+    """Append ``S_new`` timesteps at ``offset`` (ref: zonos/backbone/_torch.py:33-49)."""
+    k_new = jnp.swapaxes(k_new, 1, 2).astype(k_cache.dtype)  # [B, H_kv, S_new, D]
+    v_new = jnp.swapaxes(v_new, 1, 2).astype(v_cache.dtype)
+    zero = jnp.zeros((), dtype=jnp.int32)
+    idx = (zero, zero, jnp.asarray(offset, jnp.int32), zero)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, idx)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, idx)
+    return k_cache, v_cache
+
+
+def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """q [B, Sq, H, D] x k [B, H_kv, Sk, D] -> scores [B, H_kv, G, Sq, Sk]."""
+    B, Sq, H, D = q.shape
+    H_kv = k.shape[1]
+    G = H // H_kv
+    qh = jnp.swapaxes(q, 1, 2).reshape(B, H_kv, G, Sq, D)
+    return jnp.einsum("bhgqd,bhkd->bhgqk", qh, k, preferred_element_type=jnp.float32)
+
+
+def _gqa_output(weights: jnp.ndarray, v: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """weights [B, H_kv, G, Sq, Sk] x v [B, H_kv, Sk, D] -> [B, Sq, H, D]."""
+    B, H_kv, G, Sq, _ = weights.shape
+    D = v.shape[-1]
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", weights.astype(v.dtype), v)
+    return jnp.swapaxes(out.reshape(B, H_kv * G, Sq, D), 1, 2).astype(out_dtype)
+
+
+def prefill_attention(
+    q: jnp.ndarray,  # [B, S, H, D] (RoPE already applied)
+    k: jnp.ndarray,  # [B, H_kv, S_max, D] — the cache, already updated
+    v: jnp.ndarray,
+    seq_len: int,  # static: number of live prompt positions
+) -> jnp.ndarray:
+    """Causal attention of the S prompt queries against cache positions [0, S)."""
+    D = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    k_live = k[:, :, :seq_len]
+    v_live = v[:, :, :seq_len]
+    scores = _gqa_scores(q, k_live) * scale  # [B,H_kv,G,S,S] fp32
+    S = q.shape[1]
+    qpos = jnp.arange(S)[:, None]
+    kpos = jnp.arange(seq_len)[None, :]
+    causal = kpos <= qpos  # [S, S]
+    scores = jnp.where(causal[None, None, None], scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return _gqa_output(weights, v_live, q.dtype)
+
+
+def decode_attention(
+    q: jnp.ndarray,  # [B, 1, H, D] (RoPE already applied)
+    k_cache: jnp.ndarray,  # [B, H_kv, S_max, D]
+    v_cache: jnp.ndarray,
+    length: jnp.ndarray,  # scalar int32: #valid cache positions (incl. this token)
+) -> jnp.ndarray:
+    """One query step against the cache, masked to the first ``length`` slots."""
+    D = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    scores = _gqa_scores(q, k_cache) * scale  # [B,H_kv,G,1,S_max] fp32
+    S_max = k_cache.shape[2]
+    valid = jnp.arange(S_max) < length  # [S_max]
+    scores = jnp.where(valid[None, None, None, None], scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return _gqa_output(weights, v_cache, q.dtype)

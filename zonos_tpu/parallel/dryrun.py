@@ -1,0 +1,89 @@
+"""Multi-chip dry run: compile + execute one sharded training step and one
+sharded decode step on an n-device mesh (virtual CPU devices in CI).
+
+Exercises the real sharding rules: data-parallel batch, tensor-parallel
+attention/MLP/vocab (2-way when the device count allows), sharded KV cache.
+Sequence/pipeline/expert parallelism are explicit non-goals for this model
+family (SURVEY.md §2.4: max sequence ~2.7k tokens, no MoE, fits one chip).
+"""
+
+from __future__ import annotations
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+from zonos_tpu.parallel.mesh import make_mesh
+from zonos_tpu.parallel.sharding import param_shardings, shard_params
+from zonos_tpu.parallel.train import make_optimizer, make_train_step
+
+
+def _tiny_cfg() -> ZonosConfig:
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 128, "n_layer": 2, "attn_mlp_d_intermediate": 256,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    return ZonosConfig.from_dict(d)
+
+
+def run_dryrun(n_devices: int) -> None:
+    devices = jax.devices()[:n_devices]
+    n_model = 2 if n_devices % 2 == 0 else 1
+    mesh = make_mesh(n_devices // n_model, n_model, devices)
+
+    cfg = _tiny_cfg()
+    from zonos_tpu.models.tts import Zonos
+
+    model = Zonos(cfg, seed=0)
+    params = shard_params(mesh, model.params)
+
+    B = mesh.shape["data"] * 2  # 2 samples per data shard
+    Lc, T = 8, 12
+    key = jax.random.key(0)
+    cond = jax.device_put(
+        jax.random.normal(key, (B, Lc, cfg.backbone.d_model), jnp.bfloat16),
+        NamedSharding(mesh, P("data", None, None)),
+    )
+    codes = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).integers(0, 1024, (B, 9, T)), jnp.int32),
+        NamedSharding(mesh, P("data", None, None)),
+    )
+
+    optimizer = make_optimizer()
+    opt_state = jax.tree.map(
+        lambda x: x, optimizer.init(params)
+    )  # inherits param shardings lazily
+
+    step = jax.jit(
+        make_train_step(cfg, optimizer),
+        in_shardings=(
+            param_shardings(mesh, model.params),
+            None,
+            NamedSharding(mesh, P("data", None, None)),
+            NamedSharding(mesh, P("data", None, None)),
+        ),
+    )
+    params2, opt_state, loss = step(params, opt_state, cond, codes)
+    loss_val = float(loss)
+    assert np.isfinite(loss_val), f"non-finite training loss {loss_val}"
+
+    # one sharded generate step (inference path under the same mesh)
+    from zonos_tpu.models.tts import GenerateStatics, build_generate_fn
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    statics = GenerateStatics(
+        batch_size=B, cond_len=Lc, prefix_audio_len=0, max_new_tokens=4,
+        sampling=SamplingParams.greedy(),
+    )
+    gen = jax.jit(build_generate_fn(cfg, statics))
+    prefix = jnp.concatenate([cond, cond], axis=0)
+    delayed, offset = gen(
+        params2, prefix, jnp.zeros((B, 9, 0), jnp.int32), jnp.float32(2.0), jax.random.key(1)
+    )
+    assert int(offset) > 0 and np.asarray(delayed).shape[0] == B
+    print(f"dryrun ok: {n_devices} devices, mesh {dict(mesh.shape)}, loss {loss_val:.3f}")

@@ -1,0 +1,297 @@
+"""Grapheme-to-phoneme conversion (IPA out).
+
+Capability replacement for the reference's eSpeak-NG pipeline
+(zonos/conditioning.py:212-292): same public surface —
+``phonemize(texts, languages) -> list[str]`` with punctuation preserved,
+stress marks, and the ``:phonemize(grapheme)/IPA/`` manual-override syntax —
+but with a dependency-free built-in engine so the framework runs on machines
+without the eSpeak C library.  When the ``phonemizer`` package + espeak-ng
+are installed they are used instead (bit-compatibility with the reference).
+
+The built-in engine:
+- **English** ("en" family): exception lexicon + ordered context-sensitive
+  letter-to-sound rules (see ``g2p_rules_en``), ARPABET -> IPA.
+- **Phonemic-orthography languages** (es, de, it, fr, pt, ...): per-language
+  digraph/grapheme -> IPA tables.
+- **Fallback**: identity over letters (the model's symbol table includes the
+  ASCII alphabet, so unknown languages degrade to grapheme conditioning).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import re
+
+from zonos_tpu.text import g2p_rules_en as EN
+from zonos_tpu.text.normalize import clean
+
+logger = logging.getLogger("zonos_tpu.text.g2p")
+
+_PHONEMIZE_ESCAPE = re.compile(r"(:phonemize(?:\((.*?)\))?/([^/]+)/)")
+_WORD_RE = re.compile(r"[A-Za-z']+")
+
+
+# ---------------------------------------------------------------------------
+# Built-in English engine
+# ---------------------------------------------------------------------------
+
+
+def _match_context(pattern: str, text: str, start: int, forward: bool) -> bool:
+    """Match a context pattern outward from ``start`` (exclusive)."""
+    i = start
+    step = 1 if forward else -1
+    atoms = pattern if forward else pattern[::-1]
+    for atom in atoms:
+        ch = text[i] if 0 <= i < len(text) else " "
+        if atom == "#":
+            if ch not in EN.VOWELS:
+                return False
+            while 0 <= i + step < len(text) and text[i + step] in EN.VOWELS:
+                i += step
+        elif atom == "^":
+            if not ch.isalpha() or ch in EN.VOWELS:
+                return False
+        elif atom == ":":
+            while 0 <= i < len(text) and text[i].isalpha() and text[i] not in EN.VOWELS:
+                i += step
+            i -= step  # consumed zero-or-more; compensate the loop's step
+        elif atom == ".":
+            if ch not in EN.VOICED_CONS:
+                return False
+        elif atom == "@":
+            if not any(
+                text[max(0, i - len(c) + 1) : i + 1] == c if not forward else text[i : i + len(c)] == c
+                for c in EN.LONG_U_CONS
+            ):
+                return False
+        elif atom == " ":
+            if ch.isalpha():
+                return False
+        else:
+            if ch != atom:
+                return False
+        i += step
+    return True
+
+
+def _rules_for_letter() -> dict[str, list[tuple[str, str, str, str]]]:
+    table: dict[str, list] = {}
+    for rule in EN.RULES:
+        table.setdefault(rule[0][0], []).append(rule)
+    return table
+
+
+_RULE_TABLE = _rules_for_letter()
+
+
+def _apply_rules_en(word: str) -> list[str]:
+    """Letter-to-sound pass over one lowercase word -> ARPABET tokens."""
+    phones: list[str] = []
+    i = 0
+    while i < len(word):
+        ch = word[i]
+        matched = False
+        for grapheme, left, right, out in _RULE_TABLE.get(ch, ()):  # ordered
+            if word[i : i + len(grapheme)] != grapheme:
+                continue
+            if left and not _match_context(left, word, i - 1, forward=False):
+                continue
+            if right and not _match_context(right, word, i + len(grapheme), forward=True):
+                continue
+            if out:
+                phones.extend(out.split())
+            i += len(grapheme)
+            matched = True
+            break
+        if not matched:
+            i += 1  # unmappable character: drop
+    return phones
+
+
+def _strip_stress(token: str) -> tuple[str, str]:
+    if token and token[-1] in "012":
+        return token[:-1], token[-1]
+    return token, ""
+
+
+def _arpa_to_ipa(tokens: list[str], default_stress_first: bool = False) -> str:
+    """Convert ARPABET tokens to an IPA string with espeak-style stress marks."""
+    out: list[str] = []
+    syllable_starts: list[int] = []  # index in `out` where each vowel's syllable starts
+    stresses: list[str] = []
+    last_boundary = 0
+    for tok in tokens:
+        base, stress = _strip_stress(tok)
+        if base in EN.ARPA_VOWELS:
+            ipa = EN.ARPA_TO_IPA.get(tok if stress == "0" and tok in EN.ARPA_TO_IPA else base, "")
+            syllable_starts.append(last_boundary)
+            stresses.append(stress)
+            out.append(ipa)
+            last_boundary = len(out)
+        else:
+            ipa = EN.ARPA_TO_IPA.get(base, "")
+            out.append(ipa)
+    # choose stressed syllable
+    mark_at = None
+    for idx, s in enumerate(stresses):
+        if s == "1":
+            mark_at = syllable_starts[idx]
+            break
+    if mark_at is None and default_stress_first and syllable_starts:
+        mark_at = syllable_starts[0]
+    if mark_at is not None and len(syllable_starts) > 1:
+        out.insert(mark_at, "ˈ")
+    return "".join(out)
+
+
+@functools.lru_cache(maxsize=65536)
+def _english_word_to_ipa(word: str) -> str:
+    lw = word.lower()
+    if lw in EN.LEXICON:
+        return _arpa_to_ipa(EN.LEXICON[lw].split())
+    # simple morphology: plural/past/progressive built from a lexicon stem
+    for suffix, extra in (("s", ["Z"]), ("ed", ["D"]), ("ing", ["IH0", "NG"])):
+        if lw.endswith(suffix) and lw[: -len(suffix)] in EN.LEXICON:
+            stem = EN.LEXICON[lw[: -len(suffix)]].split()
+            base, _ = _strip_stress(stem[-1])
+            if suffix == "s" and base in ("S", "Z", "SH", "ZH", "CH", "JH"):
+                extra = ["AH0", "Z"]
+            elif suffix == "s" and base in ("P", "T", "K", "F", "TH"):
+                extra = ["S"]
+            elif suffix == "ed" and base in ("T", "D"):
+                extra = ["AH0", "D"]
+            elif suffix == "ed" and base in ("P", "K", "F", "TH", "S", "SH", "CH"):
+                extra = ["T"]
+            return _arpa_to_ipa(stem + extra)
+    return _arpa_to_ipa(_apply_rules_en(lw), default_stress_first=True)
+
+
+# ---------------------------------------------------------------------------
+# Phonemic-orthography languages
+# ---------------------------------------------------------------------------
+
+# Ordered (grapheme, ipa) maps; longest-first matching.
+_PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
+    "es": [
+        ("ch", "ʧ"), ("ll", "ʎ"), ("rr", "r"), ("qu", "k"), ("gue", "ɡe"),
+        ("gui", "ɡi"), ("ñ", "ɲ"), ("j", "x"), ("z", "θ"), ("v", "b"),
+        ("c", "k"), ("h", ""), ("y", "ʝ"), ("a", "a"), ("e", "e"), ("i", "i"),
+        ("o", "o"), ("u", "u"), ("á", "ˈa"), ("é", "ˈe"), ("í", "ˈi"),
+        ("ó", "ˈo"), ("ú", "ˈu"),
+    ],
+    "de": [
+        ("sch", "ʃ"), ("tsch", "ʧ"), ("ch", "ç"), ("ei", "aɪ"), ("ie", "iː"),
+        ("eu", "ɔʏ"), ("äu", "ɔʏ"), ("au", "aʊ"), ("st", "ʃt"), ("sp", "ʃp"),
+        ("ß", "s"), ("w", "v"), ("v", "f"), ("z", "ts"), ("j", "j"),
+        ("ä", "ɛ"), ("ö", "ø"), ("ü", "y"), ("a", "a"), ("e", "ɛ"),
+        ("i", "ɪ"), ("o", "ɔ"), ("u", "ʊ"), ("qu", "kv"),
+    ],
+    "it": [
+        ("gli", "ʎ"), ("gn", "ɲ"), ("sci", "ʃi"), ("sce", "ʃe"), ("ch", "k"),
+        ("gh", "ɡ"), ("ci", "ʧi"), ("ce", "ʧe"), ("gi", "ʤi"), ("ge", "ʤe"),
+        ("z", "ts"), ("a", "a"), ("e", "e"), ("i", "i"), ("o", "o"), ("u", "u"),
+    ],
+    "fr": [
+        ("eau", "o"), ("ou", "u"), ("oi", "wa"), ("ch", "ʃ"), ("gn", "ɲ"),
+        ("ai", "ɛ"), ("au", "o"), ("eu", "ø"), ("on", "ɔ̃"), ("an", "ɑ̃"),
+        ("in", "ɛ̃"), ("un", "œ̃"), ("é", "e"), ("è", "ɛ"), ("ê", "ɛ"),
+        ("ç", "s"), ("j", "ʒ"), ("u", "y"), ("e", "ə"), ("a", "a"),
+        ("i", "i"), ("o", "ɔ"), ("qu", "k"), ("h", ""),
+    ],
+    "pt": [
+        ("ch", "ʃ"), ("lh", "ʎ"), ("nh", "ɲ"), ("ão", "ɐ̃w"), ("qu", "k"),
+        ("ç", "s"), ("j", "ʒ"), ("x", "ʃ"), ("a", "a"), ("e", "e"),
+        ("i", "i"), ("o", "o"), ("u", "u"),
+    ],
+}
+
+
+def _phonemic_word_to_ipa(word: str, table: list[tuple[str, str]]) -> str:
+    table_sorted = sorted(table, key=lambda kv: -len(kv[0]))
+    out = []
+    i = 0
+    lw = word.lower()
+    while i < len(lw):
+        for g, ipa in table_sorted:
+            if lw.startswith(g, i):
+                out.append(ipa)
+                i += len(g)
+                break
+        else:
+            ch = lw[i]
+            out.append(ch if ch.isalpha() else "")
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _espeak_backend(language: str):
+    """Return a phonemizer EspeakBackend, or None if unavailable."""
+    try:
+        from phonemizer.backend import EspeakBackend  # type: ignore
+
+        from zonos_tpu.text.symbols import PUNCTUATION
+
+        return EspeakBackend(
+            language,
+            preserve_punctuation=True,
+            with_stress=True,
+            language_switch="remove-flags",
+            punctuation_marks=PUNCTUATION,
+        )
+    except Exception:
+        return None
+
+
+def _builtin_phonemize_segment(text: str, language: str) -> str:
+    """Phonemize one free-text segment, preserving punctuation/spacing."""
+    lang = language.split("-")[0]
+
+    def repl(m: re.Match) -> str:
+        word = m.group(0)
+        if lang == "en":
+            return _english_word_to_ipa(word)
+        table = _PHONEMIC_TABLES.get(lang)
+        if table is not None:
+            return _phonemic_word_to_ipa(word, table)
+        return word  # grapheme fallback: letters are in the symbol table
+
+    out = _WORD_RE.sub(repl, text)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def phonemize(texts: list[str], languages: list[str]) -> list[str]:
+    """Text -> IPA phoneme strings (ref surface: zonos/conditioning.py:233-292).
+
+    Handles the ``:phonemize(grapheme)/IPA/`` and ``:phonemize/IPA/`` manual
+    escape syntaxes: the IPA payload passes through verbatim.
+    """
+    texts = clean(texts, languages)
+    results = []
+    for text, language in zip(texts, languages):
+        segments = _PHONEMIZE_ESCAPE.split(text)
+        parts: list[str] = []
+        i = 0
+        while i < len(segments):
+            seg = segments[i]
+            if seg and seg.startswith(":phonemize"):
+                ipa = segments[i + 2]
+                parts.append(ipa)
+                i += 3
+            elif seg:
+                backend = _espeak_backend(language)
+                if backend is not None:
+                    parts.append(backend.phonemize([seg], strip=True)[0])
+                else:
+                    parts.append(_builtin_phonemize_segment(seg, language))
+                i += 1
+            else:
+                i += 1
+        results.append("".join(parts))
+    return results
