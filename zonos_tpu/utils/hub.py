@@ -21,10 +21,21 @@ def hub_download(repo_id: str, filename: str, revision: str | None = None) -> st
     try:
         from huggingface_hub import hf_hub_download
 
+        # Cache hit first (instant); only then try the network — and skip it
+        # entirely when offline mode is requested, to avoid retry storms in
+        # air-gapped deployments.
+        try:
+            return hf_hub_download(
+                repo_id=repo_id, filename=filename, revision=revision, local_files_only=True
+            )
+        except Exception:
+            if os.environ.get("HF_HUB_OFFLINE") == "1" or os.environ.get("ZONOS_TPU_OFFLINE") == "1":
+                raise
         return hf_hub_download(repo_id=repo_id, filename=filename, revision=revision)
     except Exception as e:  # no network / not cached
         raise FileNotFoundError(
             f"Checkpoint file {filename!r} for {repo_id!r} not found locally "
             f"(looked in {local}) and hub download failed: {e}. "
-            f"Place the file under $ZONOS_TPU_MODELS_DIR/{repo_id}/ for air-gapped use."
+            f"Place the file under $ZONOS_TPU_MODELS_DIR/{repo_id}/ for air-gapped use, "
+            f"or set ZONOS_TPU_OFFLINE=1 to fail fast without network retries."
         ) from e
