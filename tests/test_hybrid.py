@@ -1,0 +1,148 @@
+"""Mamba2/SSD and hybrid backbone tests: chunked scan vs serial oracle,
+prefill/decode consistency, end-to-end hybrid generation."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+from zonos_tpu.models.hybrid import (
+    create_hybrid_cache,
+    hybrid_decode_step,
+    hybrid_prefill,
+    init_hybrid_params,
+)
+from zonos_tpu.ops.ssm import (
+    causal_conv1d_prefill,
+    causal_conv1d_step,
+    ssd_chunked,
+    ssd_decode_step,
+)
+
+
+def _serial_ssd_oracle(x, dt, A, Bm, Cm, D):
+    """Naive per-step recurrence in numpy (ground truth)."""
+    B_, L, H, P = x.shape
+    G, N = Bm.shape[2], Bm.shape[3]
+    h = np.zeros((B_, H, P, N))
+    ys = np.zeros_like(x)
+    rep = H // G
+    for t in range(L):
+        for b in range(B_):
+            for hh in range(H):
+                g = hh // rep
+                dA = np.exp(dt[b, t, hh] * A[hh])
+                h[b, hh] = dA * h[b, hh] + dt[b, t, hh] * np.outer(x[b, t, hh], Bm[b, t, g])
+                ys[b, t, hh] = h[b, hh] @ Cm[b, t, g] + D[hh] * x[b, t, hh]
+    return ys, h
+
+
+def test_ssd_chunked_matches_serial_oracle():
+    rng = np.random.default_rng(0)
+    B_, L, H, P, G, N = 2, 37, 4, 8, 2, 16  # L deliberately not a chunk multiple
+    x = rng.normal(size=(B_, L, H, P)).astype(np.float32)
+    dt = rng.uniform(0.01, 0.5, size=(B_, L, H)).astype(np.float32)
+    A = -rng.uniform(0.5, 2.0, size=(H,)).astype(np.float32)
+    Bm = rng.normal(size=(B_, L, G, N)).astype(np.float32)
+    Cm = rng.normal(size=(B_, L, G, N)).astype(np.float32)
+    D = rng.normal(size=(H,)).astype(np.float32)
+
+    y_ref, h_ref = _serial_ssd_oracle(x, dt, A, Bm, Cm, D)
+    y, h = ssd_chunked(jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+                       jnp.asarray(Bm), jnp.asarray(Cm), jnp.asarray(D), chunk=16)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h), h_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ssd_decode_continues_prefill():
+    rng = np.random.default_rng(1)
+    B_, L, H, P, G, N = 1, 20, 2, 4, 1, 8
+    mk = lambda *s: rng.normal(size=s).astype(np.float32)
+    x, Bm, Cm = mk(B_, L, H, P), mk(B_, L, G, N), mk(B_, L, G, N)
+    dt = rng.uniform(0.01, 0.5, size=(B_, L, H)).astype(np.float32)
+    A = -rng.uniform(0.5, 2.0, size=(H,)).astype(np.float32)
+    D = mk(H)
+
+    y_full, h_full = ssd_chunked(*map(jnp.asarray, (x, dt, A, Bm, Cm, D)), chunk=8)
+    split = L - 4
+    y_a, h = ssd_chunked(*map(jnp.asarray, (x[:, :split], dt[:, :split], A,
+                                            Bm[:, :split], Cm[:, :split], D)), chunk=8)
+    ys = [np.asarray(y_a)]
+    for t in range(split, L):
+        y_t, h = ssd_decode_step(
+            jnp.asarray(x[:, t]), jnp.asarray(dt[:, t]), jnp.asarray(A),
+            jnp.asarray(Bm[:, t]), jnp.asarray(Cm[:, t]), jnp.asarray(D), h
+        )
+        ys.append(np.asarray(y_t)[:, None])
+    y_steps = np.concatenate(ys, axis=1)
+    np.testing.assert_allclose(y_steps, np.asarray(y_full), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_full), rtol=2e-4, atol=2e-4)
+
+
+def test_causal_conv_streaming():
+    rng = np.random.default_rng(2)
+    B_, L, C, K = 2, 11, 6, 4
+    x = rng.normal(size=(B_, L, C)).astype(np.float32)
+    w = rng.normal(size=(K, C)).astype(np.float32)
+    b = rng.normal(size=(C,)).astype(np.float32)
+    y_full, state = causal_conv1d_prefill(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    # continue streaming 3 more steps and compare against a longer prefill
+    x2 = rng.normal(size=(B_, 3, C)).astype(np.float32)
+    y_ext, _ = causal_conv1d_prefill(jnp.asarray(np.concatenate([x, x2], 1)),
+                                     jnp.asarray(w), jnp.asarray(b))
+    st = state
+    for t in range(3):
+        y_t, st = causal_conv1d_step(jnp.asarray(x2[:, t]), st, jnp.asarray(w), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_ext)[:, L + t], rtol=1e-5, atol=1e-5)
+
+
+def _tiny_hybrid_cfg():
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {
+            "d_model": 64,
+            "n_layer": 4,
+            "attn_layer_idx": [1, 3],
+            "attn_mlp_d_intermediate": 128,
+            "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+            "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16, "rotary_emb_dim": 8},
+        }
+    )
+    return ZonosConfig.from_dict(d)
+
+
+def test_hybrid_prefill_matches_stepwise():
+    cfg = _tiny_hybrid_cfg().backbone
+    params = init_hybrid_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    B_, S, S_max = 2, 9, 16
+    x = jax.random.normal(jax.random.key(1), (B_, S, cfg.d_model), jnp.float32)
+
+    cache = create_hybrid_cache(cfg, B_, S_max, jnp.float32)
+    h_full, _ = hybrid_prefill(cfg, params, x, cache)
+
+    cache = create_hybrid_cache(cfg, B_, S_max, jnp.float32)
+    split = S - 3
+    h_pre, cache = hybrid_prefill(cfg, params, x[:, :split], cache)
+    outs = []
+    for t in range(split, S):
+        h_t, cache = hybrid_decode_step(cfg, params, x[:, t : t + 1], cache, jnp.int32(t))
+        outs.append(h_t)
+    h_steps = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(h_full[:, split:]), np.asarray(h_steps),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_hybrid_generate_end_to_end():
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    model = Zonos(_tiny_hybrid_cfg(), seed=0)
+    prefix = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 7, 64)), jnp.bfloat16
+    )
+    out = model.generate(prefix, max_new_tokens=8, seed=3,
+                         sampling_params=SamplingParams.greedy())
+    assert out[0].shape[0] == 9 and out[0].shape[1] <= 8
+    assert ((out[0] >= 0) & (out[0] < 1024)).all()

@@ -1,0 +1,149 @@
+"""Mamba2 selective state-space (SSD) ops.
+
+Replaces the reference's mamba_ssm CUDA/Triton kernels
+(zonos/backbone/_mamba_ssm.py:3-34) with a TPU-shaped formulation:
+
+- Prefill uses the chunked SSD algorithm: within a chunk the recurrence is
+  rewritten as a masked attention-like contraction (MXU matmuls), and chunk
+  states are carried by a short ``lax.scan`` — O(L·Q) work with Q-sized
+  matmul tiles instead of a length-L serial scan.
+- Decode is the exact single-step recurrence on a carried ``[B, H, P, N]``
+  state.
+
+Shapes: x ``[B, L, H, P]`` (heads x headdim), dt ``[B, L, H]``,
+A ``[H]`` (negative), B/C ``[B, L, G, N]`` (ngroups x state), D ``[H]``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_groups(bc: jnp.ndarray, H: int) -> jnp.ndarray:
+    """[B, L, G, N] -> [B, L, H, N] by repeating each group over its heads."""
+    G = bc.shape[2]
+    return jnp.repeat(bc, H // G, axis=2)
+
+
+def ssd_chunked(
+    x: jnp.ndarray,  # [B, L, H, P]
+    dt: jnp.ndarray,  # [B, L, H]  (already softplus'd)
+    A: jnp.ndarray,  # [H] negative decay rates
+    Bm: jnp.ndarray,  # [B, L, G, N]
+    Cm: jnp.ndarray,  # [B, L, G, N]
+    D: jnp.ndarray,  # [H]
+    init_state: jnp.ndarray | None = None,  # [B, H, P, N]
+    chunk: int = 64,
+):
+    """Full-sequence SSD. Returns (y [B, L, H, P], final_state [B, H, P, N])."""
+    Bsz, L, H, P = x.shape
+    N = Bm.shape[-1]
+    pad = (-L) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        Bm = jnp.pad(Bm, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        Cm = jnp.pad(Cm, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Lp = L + pad
+    nc = Lp // chunk
+
+    Bh = _expand_groups(Bm, H)
+    Ch = _expand_groups(Cm, H)
+
+    # reshape into chunks: [B, nc, Q, ...]
+    def chk(t):
+        return t.reshape(Bsz, nc, chunk, *t.shape[2:])
+
+    xc, dtc, Bc, Cc = chk(x), chk(dt), chk(Bh), chk(Ch)
+
+    dA = dtc * A[None, None, None, :]  # [B, nc, Q, H]
+    s = jnp.cumsum(dA, axis=2)  # within-chunk cumulative log-decay
+
+    # intra-chunk: Y[i] = sum_{j<=i} (C_i . B_j) exp(s_i - s_j) dt_j x_j
+    decay = jnp.exp(s[:, :, :, None, :] - s[:, :, None, :, :])  # [B,nc,Q(i),Q(j),H]
+    causal = jnp.tril(jnp.ones((chunk, chunk), bool))
+    decay = jnp.where(causal[None, None, :, :, None], decay, 0.0)
+    cb = jnp.einsum("bnihs,bnjhs->bnijh", Cc, Bc)  # [B,nc,Q,Q,H]
+    w = cb * decay * dtc[:, :, None, :, :]  # weight for x_j
+    y_intra = jnp.einsum("bnijh,bnjhp->bnihp", w, xc)
+
+    # chunk summary state: S_chunk = sum_j exp(s_Q - s_j) dt_j x_j B_j^T
+    tail_decay = jnp.exp(s[:, :, -1:, :] - s)  # [B,nc,Q,H]
+    contrib = xc * (dtc * tail_decay)[..., None]  # [B,nc,Q,H,P]
+    S_chunk = jnp.einsum("bnqhp,bnqhs->bnhps", contrib, Bc)  # [B,nc,H,P,N]
+    chunk_decay = jnp.exp(s[:, :, -1, :])  # [B,nc,H] total decay of a chunk
+
+    # scan chunk states: h_out[n] = state *before* chunk n
+    h0 = (
+        jnp.zeros((Bsz, H, P, N), x.dtype)
+        if init_state is None
+        else init_state.astype(x.dtype)
+    )
+
+    def scan_fn(h, inp):
+        S_c, dec = inp  # [B,H,P,N], [B,H]
+        h_next = h * dec[..., None, None] + S_c
+        return h_next, h
+
+    S_sw = jnp.moveaxis(S_chunk, 1, 0)  # [nc, B, H, P, N]
+    dec_sw = jnp.moveaxis(chunk_decay, 1, 0)  # [nc, B, H]
+    h_final, h_befores = jax.lax.scan(scan_fn, h0, (S_sw, dec_sw))
+    h_befores = jnp.moveaxis(h_befores, 0, 1)  # [B, nc, H, P, N]
+
+    # inter-chunk: Y[i] += (C_i exp(s_i)) . h_before
+    y_inter = jnp.einsum(
+        "bnqhs,bnhps->bnqhp", Cc * jnp.exp(s)[..., None], h_befores
+    )
+
+    y = (y_intra + y_inter).reshape(Bsz, Lp, H, P)[:, :L]
+    y = y + x[:, :L] * D[None, None, :, None]
+    return y, h_final
+
+
+def ssd_decode_step(
+    x: jnp.ndarray,  # [B, H, P]
+    dt: jnp.ndarray,  # [B, H]
+    A: jnp.ndarray,  # [H]
+    Bm: jnp.ndarray,  # [B, G, N]
+    Cm: jnp.ndarray,  # [B, G, N]
+    D: jnp.ndarray,  # [H]
+    state: jnp.ndarray,  # [B, H, P, N]
+):
+    """One recurrence step. Returns (y [B, H, P], new_state)."""
+    H = x.shape[1]
+    Bh = jnp.repeat(Bm, H // Bm.shape[1], axis=1)  # [B, H, N]
+    Ch = jnp.repeat(Cm, H // Cm.shape[1], axis=1)
+    dA = jnp.exp(dt * A[None, :])  # [B, H]
+    upd = jnp.einsum("bhp,bhn->bhpn", x * dt[..., None], Bh)
+    state = state * dA[..., None, None] + upd
+    y = jnp.einsum("bhpn,bhn->bhp", state, Ch) + x * D[None, :, None]
+    return y, state
+
+
+def causal_conv1d_prefill(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray):
+    """Depthwise causal conv over [B, L, C] with kernel [K, C].
+
+    Returns (y [B, L, C], conv_state [B, K-1, C]) — the state is the tail of
+    the padded input, ready for streaming decode.
+    """
+    K = w.shape[0]
+    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp,
+        w[:, None, :],  # [K, 1, C] with feature_group_count=C
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=x.shape[-1],
+    )
+    y = y + b
+    conv_state = xp[:, -(K - 1) :, :] if K > 1 else jnp.zeros((x.shape[0], 0, x.shape[-1]), x.dtype)
+    return y, conv_state
+
+
+def causal_conv1d_step(x: jnp.ndarray, conv_state: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray):
+    """One streaming step: x [B, C], conv_state [B, K-1, C] -> (y [B, C], state)."""
+    window = jnp.concatenate([conv_state, x[:, None, :]], axis=1)  # [B, K, C]
+    y = jnp.einsum("bkc,kc->bc", window, w) + b
+    return y, window[:, 1:, :]
