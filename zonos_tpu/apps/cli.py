@@ -1,0 +1,66 @@
+"""Single-utterance synthesis CLI (parity surface: zonos_cli.py).
+
+    python -m zonos_tpu.apps.cli --text "Hello!" --language en-us \
+        --reference_audio voice.wav --output out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from zonos_tpu.apps.common import (
+    add_conditioning_args,
+    add_model_args,
+    add_sampling_args,
+    cond_dict_from_args,
+    load_model,
+    make_speaker,
+    prefix_codes,
+    sampling_params_from_args,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="Generate speech with zonos-tpu.")
+    ap.add_argument("--text", required=True, help="Text to synthesize.")
+    ap.add_argument("--output", default="output.wav", help="Output wav path.")
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--no_prefix_silence", action="store_true",
+                    help="Skip the default 100 ms silence audio prefix.")
+    add_conditioning_args(ap)
+    add_sampling_args(ap)
+    add_model_args(ap)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    print("Loading model...")
+    model = load_model(args)
+    speaker = make_speaker(args, model)
+    prefix = None if args.no_prefix_silence and not args.prefix_audio else prefix_codes(args, model, args.batch_size)
+
+    cond = cond_dict_from_args(args, args.text, speaker)
+    conditioning = model.prepare_conditioning(cond)
+    print("Generating...")
+    codes = model.generate(
+        conditioning,
+        audio_prefix_codes=prefix,
+        max_new_tokens=args.max_new_tokens,
+        cfg_scale=args.cfg_scale,
+        batch_size=args.batch_size,
+        sampling_params=sampling_params_from_args(args),
+        seed=args.seed,
+    )
+    outputs = (
+        [args.output]
+        if args.batch_size == 1
+        else [args.output.replace(".wav", f"_{i}.wav") for i in range(args.batch_size)]
+    )
+    model.autoencoder.save_codes(outputs, codes)
+    for p in outputs:
+        print(f"wrote {p}")
+
+
+if __name__ == "__main__":
+    main()
