@@ -1,0 +1,116 @@
+"""Checkpoint tests: reference-format safetensors conversion round-trip and
+orbax train-state save/resume."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _tiny_cfg():
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    return ZonosConfig.from_dict(d)
+
+
+def _fake_reference_state_dict(cfg):
+    """Build a reference-shaped safetensors state dict with random values."""
+    rng = np.random.default_rng(0)
+    d = cfg.backbone.d_model
+    H, Hkv = 4, 2
+    hd = d // H
+    inter = cfg.backbone.attn_mlp_d_intermediate
+    sd = {}
+    for i in range(cfg.backbone.n_layer):
+        p = f"backbone.layers.{i}."
+        sd[p + "norm.weight"] = rng.normal(size=(d,))
+        sd[p + "norm.bias"] = rng.normal(size=(d,))
+        sd[p + "mixer.in_proj.weight"] = rng.normal(size=((H + 2 * Hkv) * hd, d))
+        sd[p + "mixer.out_proj.weight"] = rng.normal(size=(d, H * hd))
+        sd[p + "norm2.weight"] = rng.normal(size=(d,))
+        sd[p + "norm2.bias"] = rng.normal(size=(d,))
+        sd[p + "mlp.fc1.weight"] = rng.normal(size=(2 * inter, d))
+        sd[p + "mlp.fc2.weight"] = rng.normal(size=(d, inter))
+    sd["backbone.norm_f.weight"] = rng.normal(size=(d,))
+    sd["backbone.norm_f.bias"] = rng.normal(size=(d,))
+    for k in range(9):
+        sd[f"embeddings.{k}.weight"] = rng.normal(size=(1026, d))
+        sd[f"heads.{k}.weight"] = rng.normal(size=(1025, d))
+    # prefix conditioner pieces for the canonical conditioner list
+    sd["prefix_conditioner.norm.weight"] = rng.normal(size=(d,))
+    sd["prefix_conditioner.norm.bias"] = rng.normal(size=(d,))
+    names = ["espeak", "speaker", "emotion", "fmax", "pitch_std", "speaking_rate", "language_id"]
+    for j, name in enumerate(names):
+        p = f"prefix_conditioner.conditioners.{j}."
+        if name == "espeak":
+            from zonos_tpu.text.symbols import SYMBOL_VOCAB_SIZE
+
+            sd[p + "phoneme_embedder.weight"] = rng.normal(size=(SYMBOL_VOCAB_SIZE, d))
+        elif name == "speaker":
+            sd[p + "project.weight"] = rng.normal(size=(d, 128))
+            sd[p + "project.bias"] = rng.normal(size=(d,))
+            sd[p + "uncond_vector"] = rng.normal(size=(d,))
+        elif name == "language_id":
+            sd[p + "int_embedder.weight"] = rng.normal(size=(128, d))
+            sd[p + "uncond_vector"] = rng.normal(size=(d,))
+        else:
+            dim = {"emotion": 8}.get(name, 1)
+            sd[p + "weight"] = rng.normal(size=(d // 2, dim))
+            sd[p + "uncond_vector"] = rng.normal(size=(d,))
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def test_safetensors_conversion_round_trip(tmp_path):
+    from safetensors.numpy import save_file
+
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.utils.checkpoint import load_zonos_checkpoint
+
+    cfg = _tiny_cfg()
+    sd = _fake_reference_state_dict(cfg)
+    path = str(tmp_path / "model.safetensors")
+    save_file(sd, path)
+
+    params = load_zonos_checkpoint(cfg, path)
+    # shape checks against the runtime pytree
+    model = Zonos(cfg, params=params)
+    ref_shapes = jax.tree.map(lambda x: x.shape, Zonos(cfg, seed=0).params)
+    got_shapes = jax.tree.map(lambda x: x.shape, params)
+    assert ref_shapes == got_shapes
+    # loaded values survive: head column for codebook 0 equals sd transpose
+    Vp = cfg.padded_vocab_size
+    heads = np.asarray(params["heads"], np.float32)
+    np.testing.assert_allclose(
+        heads[:, :1025], sd["heads.0.weight"].T, rtol=1e-2, atol=1e-2
+    )
+    # padded vocab region is zero
+    assert (heads[:, 1026:Vp] == 0).all()
+    # the model generates with the loaded weights
+    prefix = jnp.zeros((2, 4, cfg.backbone.d_model), jnp.bfloat16)
+    out = model.generate(prefix, max_new_tokens=4, seed=0, progress_bar=False)
+    assert out[0].shape[0] == 9
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import optax
+
+    from zonos_tpu.utils.train_state import restore_train_state, save_train_state
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32), "b": jnp.ones((2,), jnp.float32)}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    save_train_state(str(tmp_path / "ckpt"), 5, params, opt_state)
+
+    out = restore_train_state(str(tmp_path / "ckpt"), params, opt_state)
+    assert out is not None
+    step, p2, os2 = out
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))

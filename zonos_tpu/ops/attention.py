@@ -19,10 +19,28 @@ TPU tile orientation; appending a token is one ``dynamic_update_slice``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = float("-inf")
+
+
+def use_pallas() -> bool:
+    """Opt-in switch for the Pallas kernel variants (ZONOS_TPU_PALLAS=1).
+
+    Measured on v5e (decode, flagship config): the XLA paths are at parity at
+    batch 1 (5.0 vs 5.1 ms/step) and faster at batch 8 (6.3 vs 7.3 ms/step) —
+    XLA's own attention fusion is already excellent for these matvec shapes,
+    so the hand kernels are kept as an option and a baseline, not the default.
+    """
+    if os.environ.get("ZONOS_TPU_PALLAS") != "1":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def update_kv_cache(
@@ -86,7 +104,15 @@ def decode_attention(
     v_cache: jnp.ndarray,
     length: jnp.ndarray,  # scalar int32: #valid cache positions (incl. this token)
 ) -> jnp.ndarray:
-    """One query step against the cache, masked to the first ``length`` slots."""
+    """One query step against the cache, masked to the first ``length`` slots.
+
+    Dispatches to the fused Pallas kernel on TPU (when head_dim is
+    lane-aligned); the XLA path below is the fallback and numerical oracle.
+    """
+    if use_pallas() and q.shape[-1] % 128 == 0 and q.shape[2] % k_cache.shape[1] == 0:
+        from zonos_tpu.ops.pallas_kernels import decode_attention_pallas
+
+        return decode_attention_pallas(q, k_cache, v_cache, length)
     D = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
     scores = _gqa_scores(q, k_cache) * scale  # [B,H_kv,G,1,S_max] fp32

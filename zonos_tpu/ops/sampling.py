@@ -157,6 +157,16 @@ def sample_from_logits(
     if p.temperature <= 0:
         return jnp.argmax(logits, axis=-1)
 
+    from zonos_tpu.ops.attention import use_pallas
+
+    if use_pallas() and p.top_p == 0 and p.top_k == 0:
+        from zonos_tpu.ops.pallas_kernels import fused_sample_pallas
+
+        return fused_sample_pallas(
+            key, logits.astype(jnp.float32), linear=p.linear, conf=p.conf,
+            quad=p.quad, min_p=p.min_p, temperature=p.temperature,
+        )
+
     probs = jax.nn.softmax(logits / p.temperature, axis=-1)
     if p.linear > 0:
         probs = apply_unified(probs, p.linear, p.conf, p.quad)

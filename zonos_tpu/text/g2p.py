@@ -86,7 +86,16 @@ _RULE_TABLE = _rules_for_letter()
 
 
 def _apply_rules_en(word: str) -> list[str]:
-    """Letter-to-sound pass over one lowercase word -> ARPABET tokens."""
+    """Letter-to-sound pass over one lowercase word -> ARPABET tokens.
+
+    Uses the native C++ rule engine (csrc/g2p_engine.cpp) when built; the
+    Python matcher below is the identical-behavior fallback.
+    """
+    from zonos_tpu.text.native import get_engine
+
+    native = get_engine()
+    if native is not None:
+        return native(word).split()
     phones: list[str] = []
     i = 0
     while i < len(word):
