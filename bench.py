@@ -26,6 +26,7 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     steps = int(os.environ.get("BENCH_STEPS", "258"))  # 3 s of audio
     cond_len = int(os.environ.get("BENCH_COND_LEN", "64"))
+    quant = os.environ.get("BENCH_QUANT", "int8")  # serving mode; "none" = bf16
 
     import jax
     import jax.numpy as jnp
@@ -36,6 +37,8 @@ def main() -> None:
 
     cfg = ZonosConfig.from_dict(TRANSFORMER_CONFIG_DICT)
     model = Zonos(cfg, seed=0)
+    if quant == "int8":
+        model.quantize_int8()
     params = jax.device_put(model.params)
 
     sampling = SamplingParams()  # default Zonos sampling (unified + rep penalty)
@@ -50,10 +53,11 @@ def main() -> None:
             batch_size=batch, cond_len=cond_len, prefix_audio_len=0,
             max_new_tokens=n_tokens, sampling=sampling,
         )
-        fn = model._get_generate_fn(statics)
-        delayed, offset = fn(params, prefix, no_prefix, jnp.float32(2.0), jax.random.key(seed))
-        jax.block_until_ready(delayed)
-        return int(offset)
+        init, loop = model._get_generate_parts(statics)
+        state = init(params, prefix, no_prefix, jnp.float32(2.0), jax.random.key(seed))
+        state = loop(params, state, jnp.float32(2.0), jnp.int32(2**30))
+        jax.block_until_ready(state["delayed"])
+        return int(state["offset"])
 
     # Warmup/compile (short and full-length programs are distinct compiles).
     run(steps, seed=0)
