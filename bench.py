@@ -61,9 +61,14 @@ def main() -> None:
 
     # Warmup/compile (short and full-length programs are distinct compiles).
     run(steps, seed=0)
+    profile = os.environ.get("BENCH_PROFILE") == "1"
+    if profile:
+        jax.profiler.start_trace("/tmp/zonos_tpu_trace")
     t0 = time.perf_counter()
     offset = run(steps, seed=1)
     dt = time.perf_counter() - t0
+    if profile:
+        jax.profiler.stop_trace()
 
     frames = offset - 1  # decoded delayed frames (includes the prefill sample)
     audio_sec = frames / FRAME_RATE * batch

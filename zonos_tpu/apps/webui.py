@@ -23,6 +23,29 @@ _STATE: dict = {"model": None, "model_name": None, "spk_cache": {}}
 _LOCK = threading.Lock()
 
 
+def _parse_multipart(rfile, headers) -> dict:
+    """Minimal multipart/form-data parser (the stdlib ``cgi`` module was
+    removed in Python 3.13).  Returns name -> (value, filename); text fields
+    are decoded str values with filename None."""
+    import email
+    import email.policy
+
+    length = int(headers.get("Content-Length", 0))
+    body = rfile.read(length)
+    ctype = headers.get("Content-Type", "")
+    raw = (f"Content-Type: {ctype}\r\nMIME-Version: 1.0\r\n\r\n").encode() + body
+    msg = email.message_from_bytes(raw, policy=email.policy.HTTP)
+    form: dict = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        filename = part.get_filename()
+        payload = part.get_payload(decode=True) or b""
+        form[name] = (payload if filename else payload.decode("utf-8", "replace"), filename)
+    return form
+
+
 def _get_model(name: str):
     with _LOCK:
         if _STATE["model_name"] != name:
@@ -138,13 +161,7 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         try:
-            import cgi
-
-            form = cgi.FieldStorage(
-                fp=self.rfile, headers=self.headers,
-                environ={"REQUEST_METHOD": "POST",
-                         "CONTENT_TYPE": self.headers["Content-Type"]},
-            )
+            form = _parse_multipart(self.rfile, self.headers)
             wav_bytes = self._synthesize(form)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -158,15 +175,16 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(str(e).encode())
 
-    def _synthesize(self, form) -> bytes:
+    def _synthesize(self, form: dict) -> bytes:
         from zonos_tpu.conditioning import make_cond_dict
 
-        g = lambda k, d=None: form.getvalue(k, d)
+        g = lambda k, d=None: form.get(k, (d, None))[0]
         model = _get_model(g("model", "Zyphra/Zonos-v0.1-transformer"))
 
         speaker = None
-        if "speaker_wav" in form and getattr(form["speaker_wav"], "filename", ""):
-            data = form["speaker_wav"].file.read()
+        file_entry = form.get("speaker_wav")
+        if file_entry and file_entry[1]:  # (bytes, filename)
+            data = file_entry[0]
             key = hash(data)
             if key not in _STATE["spk_cache"]:
                 import tempfile

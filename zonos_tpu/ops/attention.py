@@ -106,10 +106,25 @@ def decode_attention(
 ) -> jnp.ndarray:
     """One query step against the cache, masked to the first ``length`` slots.
 
-    Dispatches to the fused Pallas kernel on TPU (when head_dim is
-    lane-aligned); the XLA path below is the fallback and numerical oracle.
+    Pallas variants (both opt-in; measured at parity at batch 1 and behind
+    XLA's fusion at batch 8-64 on v5e, because GQA decode blocks are only
+    G=4 query rows — too thin to win on the MXU):
+    - ZONOS_TPU_FLASH=1: length-aware blocked flash-decode (scalar-prefetch
+      length, HBM traffic proportional to valid cache length);
+    - ZONOS_TPU_PALLAS=1: simple fused single-pass kernel.
+    The XLA path below is the default and the numerical oracle.
     """
-    if use_pallas() and q.shape[-1] % 128 == 0 and q.shape[2] % k_cache.shape[1] == 0:
+    aligned = q.shape[-1] % 128 == 0 and q.shape[2] % k_cache.shape[1] == 0
+    if aligned and os.environ.get("ZONOS_TPU_FLASH") == "1":
+        try:
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from zonos_tpu.ops.pallas_kernels import flash_decode_attention_pallas
+
+            return flash_decode_attention_pallas(q, k_cache, v_cache, length)
+    if use_pallas() and aligned:
         from zonos_tpu.ops.pallas_kernels import decode_attention_pallas
 
         return decode_attention_pallas(q, k_cache, v_cache, length)

@@ -85,6 +85,110 @@ def decode_attention_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Flash-decode attention: length-aware blocked cache scan
+# ---------------------------------------------------------------------------
+
+
+def _scalar(ref):
+    """Read a scalar-prefetch value whether it arrives 0-d or shape (1,)."""
+    try:
+        return ref[0]
+    except IndexError:
+        return ref[...]
+
+
+def _flash_decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                         *, block_s):
+    """Grid (B, H_kv, n_blocks): online-softmax over valid cache blocks only.
+
+    The payoff vs the XLA path: HBM traffic proportional to the *valid*
+    cache length instead of the full static S_max — out-of-range blocks are
+    predicated off and their index_map is clamped, so a 30s-capacity cache
+    costs only what has actually been generated.  This is the kernel that
+    wins at large batch (cache reads dominate weights there).
+    """
+    i = pl.program_id(2)
+    length = _scalar(len_ref)
+    n_valid = (length + block_s - 1) // block_s
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i < n_valid)
+    def _block():
+        D = q_ref.shape[3]
+        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BS, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / (D**0.5))
+        pos = i * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+        s = jnp.where(pos < length, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale_prev = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * scale_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * scale_prev + jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def flash_decode_attention_pallas(
+    q: jnp.ndarray,  # [B, 1, H, D]
+    k_cache: jnp.ndarray,  # [B, H_kv, S, D]
+    v_cache: jnp.ndarray,
+    length: jnp.ndarray,  # scalar int32
+    block_s: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, _, H, D = q.shape
+    _, Hkv, S, _ = k_cache.shape
+    G = H // Hkv
+    block_s = min(block_s, S)
+    n_blocks = pl.cdiv(S, block_s)
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    length_arr = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (1,))
+
+    def kv_index(b, h, i, len_ref):
+        n_valid = jax.lax.div(_scalar(len_ref) + block_s - 1, block_s)
+        return (b, h, jnp.minimum(i, jnp.maximum(n_valid - 1, 0)), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, i, len_ref: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, D), kv_index),
+            pl.BlockSpec((1, 1, block_s, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, i, len_ref: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_kernel, block_s=block_s),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        interpret=interpret,
+    )(length_arr, qg, k_cache, v_cache)
+    return out.reshape(B, 1, H, D)
+
+
+# ---------------------------------------------------------------------------
 # Fused sampling: softmax -> unified -> min-p -> Gumbel race
 # ---------------------------------------------------------------------------
 
