@@ -1,0 +1,516 @@
+"""Zonos TTS orchestration: conditioning -> prefill -> AR decode -> codes.
+
+Capability parity with the reference orchestrator (zonos/model.py:22-457):
+9-codebook token embedding (summed), multi-head logits, classifier-free
+guidance, delay-pattern decode with the same EOS choreography (resample once
+on first EOS, 6-step post-EOS silence window, staircase EOS placement as the
+delay drains), per-sample repetition penalty disabled in EOS mode, and the
+same output trimming semantics.
+
+TPU-first design (explicitly NOT a port):
+
+- The entire generation — prefill + every decode step + sampling + EOS
+  bookkeeping — is ONE jitted program; the token loop is a
+  ``lax.while_loop`` whose carry (codes, KV cache, offsets, EOS state, PRNG
+  key) lives on device.  The reference syncs to host twice per token
+  (``.item()`` at model.py:412 and the loop condition at model.py:345);
+  here there are zero per-token host round trips.
+- The reference's data-dependent Python (EOS resampling branch at
+  model.py:376-395, the staircase placement loop at model.py:410-414) is
+  expressed as vectorized masked selects, so the compiled step is identical
+  every iteration — XLA's equivalent of the CUDA-Graph replay the reference
+  needs (model.py:144-179).
+- All 9 output heads are one fused ``[d, 9*V_pad]`` matmul; all 9 input
+  embeddings are one stacked gather — MXU-shaped, not 9 small ops.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.config import ZonosConfig
+from zonos_tpu.conditioning import (
+    build_specs,
+    init_prefix_conditioner_params,
+    prefix_conditioner_forward,
+    prepare_cond_inputs,
+    required_keys,
+)
+from zonos_tpu.models.backbone import (
+    KVCache,
+    init_transformer_params,
+    transformer_decode_step,
+    transformer_prefill,
+)
+from zonos_tpu.ops.delay import apply_delay_pattern, revert_delay_pattern
+from zonos_tpu.ops.sampling import SamplingParams, sample_from_logits
+
+logger = logging.getLogger("zonos_tpu.model")
+
+UNKNOWN_TOKEN = -1
+MAX_STEPS_AFTER_EOS = 6  # ~70 ms of silence after EOS (ref: zonos/model.py:336)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / heads
+# ---------------------------------------------------------------------------
+
+
+def init_embed_head_params(key, cfg: ZonosConfig, dtype=jnp.bfloat16) -> dict:
+    d = cfg.backbone.d_model
+    K, Vp = cfg.num_codebooks, cfg.padded_vocab_size
+    k1, k2 = jax.random.split(key)
+    return {
+        "embeddings": (jax.random.normal(k1, (K, Vp, d), jnp.float32) * 0.02).astype(dtype),
+        "heads": (jax.random.normal(k2, (d, K * Vp), jnp.float32) / np.sqrt(d)).astype(dtype),
+    }
+
+
+def embed_codes(params: dict, codes: jnp.ndarray) -> jnp.ndarray:
+    """Sum the 9 per-codebook embeddings: codes [B, K, S] -> [B, S, d]
+    (ref: zonos/model.py:97-98, as one stacked gather)."""
+    K = codes.shape[1]
+    tables = params["embeddings"]  # [K, Vp, d]
+    gathered = tables[jnp.arange(K)[None, :, None], codes]  # [B, K, S, d]
+    return jnp.sum(gathered, axis=1)
+
+
+def apply_heads(params: dict, cfg: ZonosConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """hidden [B, d] -> logits [B, K, V_pad] via one fused matmul
+    (ref: zonos/model.py:100-101 runs 9 separate Linears)."""
+    from zonos_tpu.models.backbone import matmul_w
+
+    K, Vp = cfg.num_codebooks, cfg.padded_vocab_size
+    logits = matmul_w(hidden, params["heads"])  # [B, K*Vp]
+    return logits.reshape(hidden.shape[0], K, Vp).astype(jnp.float32)
+
+
+def cfg_blend(logits: jnp.ndarray, cfg_scale: jnp.ndarray) -> jnp.ndarray:
+    """Classifier-free guidance over a [2B, ...] cond/uncond stack
+    (ref: zonos/model.py:112-114)."""
+    B = logits.shape[0] // 2
+    cond, uncond = logits[:B], logits[B:]
+    return uncond + (cond - uncond) * cfg_scale
+
+
+def _mask_invalid(logits: jnp.ndarray, output_vocab: int) -> jnp.ndarray:
+    """-inf above the real output vocab (EOS=1024 is the last valid id;
+    ref: zonos/model.py:115)."""
+    V = logits.shape[-1]
+    return jnp.where(jnp.arange(V) >= output_vocab, -jnp.inf, logits)
+
+
+# ---------------------------------------------------------------------------
+# The jitted generation program
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GenerateStatics:
+    """Shape-defining (compile-time) arguments of one generation program."""
+
+    batch_size: int
+    cond_len: int
+    prefix_audio_len: int
+    max_new_tokens: int
+    sampling: SamplingParams
+
+
+def _compute_step_logits(model_params, cfg, hidden_2b, cfg_scale):
+    logits = apply_heads(model_params, cfg, hidden_2b)
+    logits = cfg_blend(logits, cfg_scale)
+    return _mask_invalid(logits, cfg.output_vocab_size)
+
+
+def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
+                         decode_step_fn=None, prefill_fn=None, cache_fn=None):
+    """Construct the two jittable halves of the generation program:
+
+    - ``init(params, prefix_cond, prefix_codes, cfg_scale, key) -> state``:
+      prefill + first-frame sample.
+    - ``loop(params, state, cfg_scale, chunk_steps) -> state``: run the
+      decode ``while_loop`` for up to ``chunk_steps`` more tokens
+      (``chunk_steps`` is traced, so one compilation serves every chunk
+      size — used for progress/callback chunking without recompiles).
+
+    The fused full-speed path runs ``loop`` once with a huge chunk.
+    """
+    st = statics
+    K = cfg.num_codebooks
+    eos_id, mask_id = cfg.eos_token_id, cfg.masked_token_id
+    B = st.batch_size
+    audio_len = st.prefix_audio_len + st.max_new_tokens
+    # KV cache length rounded to a TPU-friendly tile (validity is masked);
+    # the reference rounds to %8 for torch (zonos/model.py:204-208).
+    from zonos_tpu.config import find_multiple
+
+    total_seq = find_multiple(st.cond_len + audio_len + K, 64)
+    window = max(st.sampling.repetition_penalty_window, 1)
+    decode_step_fn = decode_step_fn or transformer_decode_step
+    prefill_fn = prefill_fn or transformer_prefill
+    cache_fn = cache_fn or (lambda batch, seqlen: KVCache.create(cfg.backbone, batch, seqlen))
+
+    prefill_len = st.prefix_audio_len + 1
+    max_steps_total = st.max_new_tokens + K - 1
+
+    def init(model_params, prefix_cond, prefix_codes, cfg_scale, key):
+        """prefix_cond [2B, cond_len, d]; prefix_codes [B, K, prefix_audio_len]."""
+        backbone_params = model_params["backbone"]
+        cache = cache_fn(2 * B, total_seq)
+
+        codes = jnp.full((B, K, audio_len), UNKNOWN_TOKEN, jnp.int32)
+        if st.prefix_audio_len > 0:
+            codes = codes.at[..., : st.prefix_audio_len].set(prefix_codes)
+        delayed = apply_delay_pattern(codes, mask_id)  # [B, K, audio_len + K]
+
+        # ---- prefill over text prefix + delayed audio prefix -------------
+        audio_embeds = embed_codes(model_params, delayed[..., :prefill_len])
+        x = jnp.concatenate(
+            [prefix_cond, jnp.tile(audio_embeds, (2, 1, 1)).astype(prefix_cond.dtype)], axis=1
+        )
+        hidden, cache = prefill_fn(cfg.backbone, backbone_params, x, cache)
+        logits = _compute_step_logits(model_params, cfg, hidden[:, -1], cfg_scale)
+
+        key, sub = jax.random.split(key)
+        first_token = sample_from_logits(sub, logits, st.sampling).astype(jnp.int32)
+
+        offset = jnp.int32(prefill_len)
+        frame = jax.lax.dynamic_slice_in_dim(delayed, offset, 1, axis=2)
+        merged = jnp.where(frame == UNKNOWN_TOKEN, first_token[..., None], frame)
+        delayed = jax.lax.dynamic_update_slice_in_dim(delayed, merged, offset, axis=2)
+
+        pos = jnp.int32(st.cond_len + prefill_len)  # next cache write position
+
+        max_steps = delayed.shape[2] - prefill_len
+
+        return dict(
+            delayed=delayed,
+            cache=cache,
+            offset=offset,
+            pos=pos,
+            remaining=jnp.full((B,), max_steps, jnp.int32),
+            stopping=jnp.zeros((B,), bool),
+            eos_mode=jnp.zeros((B,), bool),
+            steps_after_eos=jnp.full((B,), MAX_STEPS_AFTER_EOS, jnp.int32),
+            key=key,
+        )
+
+    def loop(model_params, state, cfg_scale, chunk_steps):
+        backbone_params = model_params["backbone"]
+
+        # EOS down-weighting bias (ref: zonos/model.py:322-324)
+        Vp = cfg.padded_vocab_size
+        bias = jnp.zeros((K, Vp), jnp.float32)
+        bias = bias.at[1:, eos_id].set(-jnp.inf)
+        bias = bias.at[0, eos_id].add(-jnp.log(1024.0))
+
+        chunk_end = state["offset"] + chunk_steps
+
+        def cond_fn(s):
+            return (jnp.max(s["remaining"]) > 0) & (s["offset"] < chunk_end)
+
+        def body_fn(s):
+            offset = s["offset"] + 1
+            input_ids = jax.lax.dynamic_slice_in_dim(s["delayed"], offset - 1, 1, axis=2)
+            h = embed_codes(model_params, input_ids)
+            h2 = jnp.tile(h, (2, 1, 1))
+            hidden, cache = decode_step_fn(cfg.backbone, backbone_params, h2, s["cache"], s["pos"])
+            logits = _compute_step_logits(model_params, cfg, hidden[:, -1], cfg_scale) + bias
+
+            from zonos_tpu.ops.eos import EosState, eos_logit_mask, eos_update
+
+            eos_state = EosState(
+                remaining=s["remaining"], stopping=s["stopping"],
+                eos_mode=s["eos_mode"], steps_after_eos=s["steps_after_eos"],
+            )
+
+            # per-sample repetition penalty, 1.0 in EOS mode (ref model.py:356)
+            rp = jnp.where(eos_state.eos_mode, 1.0, st.sampling.repetition_penalty).astype(jnp.float32)
+
+            # EOS suppressed while the silence window runs (ref model.py:360-362)
+            logits, eos_state = eos_logit_mask(eos_state, logits, eos_id)
+
+            gen_window = jax.lax.dynamic_slice_in_dim(
+                s["delayed"], jnp.maximum(offset - window, 0), window, axis=2
+            )
+
+            key, k1, k2 = jax.random.split(s["key"], 3)
+            token = sample_from_logits(
+                k1, logits, st.sampling, generated_tokens=gen_window, repetition_penalty=rp
+            ).astype(jnp.int32)
+            # the first-EOS substitute frame, sampled with EOS banned
+            logits_banned = logits.at[:, 0, eos_id].set(-jnp.inf)
+            token2 = sample_from_logits(
+                k2, logits_banned, st.sampling, generated_tokens=gen_window, repetition_penalty=rp
+            ).astype(jnp.int32)
+
+            token, eos_state = eos_update(
+                eos_state, token, token2, eos_id, mask_id, K, MAX_STEPS_AFTER_EOS
+            )
+
+            frame = jax.lax.dynamic_slice_in_dim(s["delayed"], offset, 1, axis=2)
+            merged = jnp.where(frame == UNKNOWN_TOKEN, token[..., None], frame)
+            delayed = jax.lax.dynamic_update_slice_in_dim(s["delayed"], merged, offset, axis=2)
+
+            return dict(
+                delayed=delayed,
+                cache=cache,
+                offset=offset,
+                pos=s["pos"] + 1,
+                remaining=eos_state.remaining,
+                stopping=eos_state.stopping,
+                eos_mode=eos_state.eos_mode,
+                steps_after_eos=eos_state.steps_after_eos,
+                key=key,
+            )
+
+        return jax.lax.while_loop(cond_fn, body_fn, state)
+
+    return init, loop
+
+
+def build_generate_fn(cfg: ZonosConfig, statics: GenerateStatics,
+                      decode_step_fn=None, prefill_fn=None, cache_fn=None) -> Callable:
+    """One-shot generate(params, prefix_cond, prefix_codes, cfg_scale, key)
+    -> (delayed_codes, final_offset), fully fused (no chunking)."""
+    init, loop = build_generate_parts(cfg, statics, decode_step_fn, prefill_fn, cache_fn)
+
+    def generate(model_params, prefix_cond, prefix_codes, cfg_scale, key):
+        state = init(model_params, prefix_cond, prefix_codes, cfg_scale, key)
+        state = loop(model_params, state, cfg_scale, jnp.int32(2**30))
+        return state["delayed"], state["offset"]
+
+    return generate
+
+
+# ---------------------------------------------------------------------------
+# Public model class (host orchestration)
+# ---------------------------------------------------------------------------
+
+
+class Zonos:
+    """User-facing model wrapper (API parity with zonos/model.py:22-88)."""
+
+    def __init__(self, config: ZonosConfig, params: dict | None = None, seed: int = 0):
+        self.config = config
+        self.specs = build_specs(config.prefix_conditioner, config.backbone.d_model)
+        self.eos_token_id = config.eos_token_id
+        self.masked_token_id = config.masked_token_id
+        self._spk_tower = None
+        self._autoencoder = None
+        self._generate_cache: dict = {}
+        if params is None:
+            params = self.init_params(jax.random.key(seed))
+        self.params = params
+
+    # -- parameters ------------------------------------------------------
+    def init_params(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        cfg = self.config
+        if not cfg.backbone.is_transformer:
+            from zonos_tpu.models.hybrid import init_hybrid_params
+
+            backbone = init_hybrid_params(k1, cfg.backbone)
+        else:
+            backbone = init_transformer_params(k1, cfg.backbone)
+        p = {
+            "backbone": backbone,
+            "prefix_conditioner": init_prefix_conditioner_params(k2, cfg.prefix_conditioner, cfg.backbone.d_model),
+        }
+        p.update(init_embed_head_params(k3, cfg))
+        return p
+
+    def quantize_int8(self) -> "Zonos":
+        """Quantize the decode-dominant weights (attention/MLP projections and
+        the output heads) to per-channel int8.  Halves the per-step HBM weight
+        traffic of the bandwidth-bound AR decode at a small numeric cost;
+        embeddings/norms/conditioner weights stay bf16."""
+        from zonos_tpu.models.backbone import quantize_weight_int8
+
+        if not self.config.backbone.is_transformer:
+            raise NotImplementedError("int8 quantization currently targets the transformer backbone")
+        layers = dict(self.params["backbone"]["layers"])
+        for name in ("wqkv", "wo", "w1", "w2"):
+            layers[name] = quantize_weight_int8(layers[name])
+        self.params = {
+            **self.params,
+            "backbone": {**self.params["backbone"], "layers": layers},
+            "heads": quantize_weight_int8(self.params["heads"]),
+        }
+        self._generate_cache.clear()
+        return self
+
+    @classmethod
+    def from_local(cls, config_path: str, model_path: str | None = None) -> "Zonos":
+        from zonos_tpu.utils.checkpoint import load_zonos_checkpoint
+
+        cfg = ZonosConfig.from_json(config_path)
+        model = cls(cfg)
+        if model_path is not None:
+            model.params = load_zonos_checkpoint(cfg, model_path, model.params)
+        return model
+
+    @classmethod
+    def from_pretrained(cls, repo_id: str, revision: str | None = None) -> "Zonos":
+        from zonos_tpu.utils.hub import hub_download
+
+        config_path = hub_download(repo_id=repo_id, filename="config.json", revision=revision)
+        model_path = hub_download(repo_id=repo_id, filename="model.safetensors", revision=revision)
+        return cls.from_local(config_path, model_path)
+
+    # -- subsystems ------------------------------------------------------
+    @property
+    def autoencoder(self):
+        if self._autoencoder is None:
+            from zonos_tpu.models.dac import DACAutoencoder
+
+            self._autoencoder = DACAutoencoder()
+        return self._autoencoder
+
+    def make_speaker_embedding(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        """Reference clip -> [1, 1, 128] LDA speaker embedding
+        (ref: zonos/model.py:90-95)."""
+        if self._spk_tower is None:
+            from zonos_tpu.models.speaker import SpeakerEmbeddingLDA
+
+            self._spk_tower = SpeakerEmbeddingLDA()
+        _, lda = self._spk_tower(wav, sr)
+        return np.asarray(lda, np.float32).reshape(1, 1, -1)
+
+    # -- conditioning ----------------------------------------------------
+    def prepare_conditioning(self, cond_dict: dict, uncond_dict: dict | None = None) -> jnp.ndarray:
+        """-> [2B, cond_len, d_model]: cond prefix stacked over uncond prefix
+        (ref: zonos/model.py:210-218)."""
+        if uncond_dict is None:
+            uncond_dict = {k: cond_dict[k] for k in required_keys(self.specs) if k in cond_dict}
+        cond_in = prepare_cond_inputs(self.specs, cond_dict)
+        uncond_in = prepare_cond_inputs(self.specs, uncond_dict)
+        pp = self.params["prefix_conditioner"]
+        pc = self.config.prefix_conditioner
+        cond = prefix_conditioner_forward(pp, self.specs, pc, cond_in, self.config.backbone.norm_epsilon)
+        uncond = prefix_conditioner_forward(pp, self.specs, pc, uncond_in, self.config.backbone.norm_epsilon)
+        B = max(cond.shape[0], uncond.shape[0])
+        cond = jnp.broadcast_to(cond, (B, *cond.shape[1:]))
+        uncond = jnp.broadcast_to(uncond, (B, *uncond.shape[1:]))
+        return jnp.concatenate([cond, uncond], axis=0)
+
+    # -- generation ------------------------------------------------------
+    def _get_generate_parts(self, statics: GenerateStatics):
+        parts = self._generate_cache.get(statics)
+        if parts is None:
+            if self.config.backbone.is_transformer:
+                decode_fn, prefill_fn, cache_fn = None, None, None
+            else:
+                from zonos_tpu.models.hybrid import (
+                    create_hybrid_cache,
+                    hybrid_decode_step,
+                    hybrid_prefill,
+                )
+
+                decode_fn, prefill_fn = hybrid_decode_step, hybrid_prefill
+                cache_fn = lambda batch, seqlen: create_hybrid_cache(
+                    self.config.backbone, batch, seqlen
+                )
+            init, loop = build_generate_parts(
+                self.config, statics, decode_fn, prefill_fn, cache_fn
+            )
+            parts = (jax.jit(init), jax.jit(loop, donate_argnums=(1,)))
+            self._generate_cache[statics] = parts
+        return parts
+
+    def generate(
+        self,
+        prefix_conditioning: jnp.ndarray,  # [2B, cond_len, d_model]
+        audio_prefix_codes: np.ndarray | None = None,  # [B, K, P]
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        batch_size: int = 1,
+        sampling_params: dict | SamplingParams | None = None,
+        seed: int = 423,
+        progress_bar: bool = True,
+        callback: Callable[[np.ndarray, int, int], bool] | None = None,
+    ) -> list[np.ndarray]:
+        """Sample DAC codes; returns a list of [K, T_i] arrays (per-sample
+        EOS-trimmed, audio prefix removed) — the reference's output contract
+        (zonos/model.py:437-457)."""
+        if prefix_conditioning.shape[0] != 2 * batch_size:
+            raise ValueError(
+                f"prefix_conditioning batch {prefix_conditioning.shape[0]} != 2*{batch_size}"
+            )
+        sampling = sampling_params
+        if sampling is None:
+            sampling = SamplingParams()
+        elif isinstance(sampling, dict):
+            sampling = SamplingParams(**sampling)
+
+        K = self.config.num_codebooks
+        prefix_audio_len = 0 if audio_prefix_codes is None else audio_prefix_codes.shape[2]
+        statics = GenerateStatics(
+            batch_size=batch_size,
+            cond_len=int(prefix_conditioning.shape[1]),
+            prefix_audio_len=prefix_audio_len,
+            max_new_tokens=max_new_tokens,
+            sampling=sampling,
+        )
+        init, loop = self._get_generate_parts(statics)
+        prefix_codes = (
+            jnp.zeros((batch_size, K, 0), jnp.int32)
+            if audio_prefix_codes is None
+            else jnp.asarray(audio_prefix_codes, jnp.int32)
+        )
+        cfg_scale_arr = jnp.float32(cfg_scale)
+        state = init(
+            self.params,
+            jnp.asarray(prefix_conditioning, jnp.bfloat16),
+            prefix_codes,
+            cfg_scale_arr,
+            jax.random.key(seed),
+        )
+        max_steps = max_new_tokens + K - 1
+        chunked = callback is not None or progress_bar
+        if not chunked:
+            state = loop(self.params, state, cfg_scale_arr, jnp.int32(2**30))
+        else:
+            # chunked decode: same compiled loop, bounded per chunk, so the
+            # host can report progress / allow cancellation between chunks
+            # (the step-callback contract of zonos/model.py:430-432).
+            from tqdm import tqdm
+
+            interval = 32
+            done = 0
+            bar = tqdm(total=max_steps, desc="Generating", disable=not progress_bar)
+            while done < max_steps:
+                state = loop(self.params, state, cfg_scale_arr, jnp.int32(interval))
+                remaining = int(jnp.max(state["remaining"]))
+                new_done = min(max_steps, max_steps - remaining)
+                bar.update(new_done - done)
+                done = new_done
+                if remaining <= 0:
+                    break
+                if callback is not None:
+                    offset_now = int(state["offset"])
+                    frame = np.asarray(state["delayed"][..., offset_now : offset_now + 1])
+                    if not callback(frame, done, max_steps):
+                        break
+            bar.close()
+        delayed = np.asarray(state["delayed"])
+        offset = int(state["offset"])
+
+        out = np.asarray(revert_delay_pattern(jnp.asarray(delayed)))
+        # first EOS per sample in codebook 0 (0 => never stopped)
+        eos_hits = out[:, 0, :] == self.eos_token_id
+        eos_pos = np.where(eos_hits.any(axis=1), eos_hits.argmax(axis=1), out.shape[2])
+        out = out[..., : offset - K]
+        out = np.where(out >= self.config.codebook_size, 0, out)
+        results = []
+        for i in range(out.shape[0]):
+            end = min(int(eos_pos[i]), out.shape[2])
+            results.append(out[i, :, prefix_audio_len:end].copy())
+        return results
