@@ -28,17 +28,22 @@ def main() -> None:
     cond_len = int(os.environ.get("BENCH_COND_LEN", "64"))
     quant = os.environ.get("BENCH_QUANT", "int8")  # serving mode; "none" = bf16
 
+    arch = os.environ.get("BENCH_MODEL", "transformer")  # or "hybrid"
+
     import jax
     import jax.numpy as jnp
 
-    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, TRANSFORMER_CONFIG_DICT, ZonosConfig
     from zonos_tpu.models.tts import GenerateStatics, Zonos, build_generate_fn
     from zonos_tpu.ops.sampling import SamplingParams
 
-    cfg = ZonosConfig.from_dict(TRANSFORMER_CONFIG_DICT)
+    cfg_dict = HYBRID_CONFIG_DICT if arch == "hybrid" else TRANSFORMER_CONFIG_DICT
+    cfg = ZonosConfig.from_dict(cfg_dict)
     model = Zonos(cfg, seed=0)
-    if quant == "int8":
+    if quant == "int8" and cfg.backbone.is_transformer:
         model.quantize_int8()
+    elif quant == "int4" and cfg.backbone.is_transformer:
+        model.quantize_int4()
     params = jax.device_put(model.params)
 
     sampling = SamplingParams()  # default Zonos sampling (unified + rep penalty)
@@ -73,8 +78,9 @@ def main() -> None:
     frames = offset - 1  # decoded delayed frames (includes the prefill sample)
     audio_sec = frames / FRAME_RATE * batch
     rtf = audio_sec / dt
+    suffix = "" if arch == "transformer" else f"_{arch}"
     result = {
-        "metric": f"rtf_batch{batch}",
+        "metric": f"rtf_batch{batch}{suffix}",
         "value": round(rtf, 3),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),

@@ -1,5 +1,5 @@
-"""int8 weight-quantization tests: reconstruction error bound and an
-end-to-end quantized generate."""
+"""int8/int4 weight-quantization tests: reconstruction error bounds and
+end-to-end quantized generates."""
 
 import copy
 
@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zonos_tpu.models.backbone import matmul_w, quantize_weight_int8
+from zonos_tpu.models.backbone import matmul_w, quantize_weight_int4, quantize_weight_int8
 
 
 def test_quantized_matmul_close():
@@ -32,6 +32,55 @@ def test_quantized_stacked_layers():
         ref = np.asarray(x @ w[layer])
         got = np.asarray(matmul_w(x, {"q": q["q"][layer], "s": q["s"][layer]}))
         assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.02
+
+
+def test_int4_matmul_close():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(256, 96)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    q = quantize_weight_int4(w, group_size=64)
+    # packed two nibbles per byte: half the rows, int8 storage
+    assert q["q4"].dtype == jnp.int8
+    assert q["q4"].shape == (128, 96) and q["s4"].shape == (4, 96)
+    ref = np.asarray(x @ w)
+    got = np.asarray(matmul_w(x, q))
+    # group-wise symmetric int4 (range +-7): ~10.7% relative error on pure
+    # gaussians (the worst case — no outlier structure for the group scales
+    # to exploit); bound it at 12%
+    assert np.abs(got - ref).mean() / np.abs(ref).mean() < 0.12
+
+
+def test_int4_better_than_per_channel_scale():
+    """Group scales must beat one whole-column int4 scale on outlier rows."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(256, 32)).astype(np.float32)
+    w[7, :] *= 50.0  # an outlier row wrecks a per-column scale
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    ref = x @ w
+    got_grouped = np.asarray(matmul_w(jnp.asarray(x), quantize_weight_int4(jnp.asarray(w), 32)))
+    coarse = quantize_weight_int4(jnp.asarray(w), 128)
+    got_coarse = np.asarray(matmul_w(jnp.asarray(x), coarse))
+    err_g = np.abs(got_grouped - ref).mean()
+    err_c = np.abs(got_coarse - ref).mean()
+    assert err_g < err_c
+
+
+def test_int4_generate_end_to_end():
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    model = Zonos(ZonosConfig.from_dict(d), seed=0).quantize_int4(group_size=32)
+    prefix = jnp.zeros((2, 4, 64), jnp.bfloat16)
+    out = model.generate(prefix, max_new_tokens=6, seed=0,
+                         sampling_params=SamplingParams.greedy(), progress_bar=False)
+    assert out[0].shape[0] == 9
+    assert ((out[0] >= 0) & (out[0] < 1024)).all()
 
 
 def test_quantized_generate_end_to_end():

@@ -123,3 +123,22 @@ def test_zero_prob_never_sampled():
     for s in range(20):
         tok = sample_from_logits(jax.random.key(s), logits, params)
         assert int(tok[0, 0]) == 1
+
+
+def test_sampling_trace_stats(caplog):
+    """--verbose_sampling path: the trace callback emits distribution stats."""
+    import logging
+
+    from zonos_tpu.ops.sampling import set_sampling_trace
+
+    logits = jnp.zeros((1, 2, 8))
+    params = SamplingParams(temperature=1.0, linear=0.0, repetition_penalty=1.0)
+    set_sampling_trace(True)
+    try:
+        with caplog.at_level(logging.DEBUG, logger="zonos_tpu.sampling.trace"):
+            jax.jit(lambda k: sample_from_logits(k, logits, params))(
+                jax.random.key(0)
+            ).block_until_ready()
+    finally:
+        set_sampling_trace(False)
+    assert any("entropy" in r.message for r in caplog.records)

@@ -58,6 +58,8 @@ def add_model_args(ap: argparse.ArgumentParser) -> None:
                    help="HF repo id or local dir with config.json + model.safetensors.")
     g.add_argument("--backbone", choices=["transformer", "hybrid"], default=None)
     g.add_argument("--verbose", action="store_true")
+    g.add_argument("--verbose_sampling", action="store_true",
+                   help="Per-step sampling-distribution stats (zonos_tpu.sampling.trace logger).")
 
 
 def sampling_params_from_args(args) -> dict:
@@ -102,6 +104,13 @@ def load_model(args):
         logging.basicConfig(level=logging.DEBUG)
     else:
         logging.basicConfig(level=logging.INFO)
+    if getattr(args, "verbose_sampling", False):
+        from zonos_tpu.ops.sampling import set_sampling_trace
+
+        set_sampling_trace(True)
+        # child-logger DEBUG level bypasses the root INFO level; records
+        # still reach the root handler (handlers carry no level of their own)
+        logging.getLogger("zonos_tpu.sampling.trace").setLevel(logging.DEBUG)
 
     name = args.model
     if os.path.isdir(name):

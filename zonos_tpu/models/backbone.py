@@ -30,11 +30,44 @@ from zonos_tpu.ops.norms import layer_norm
 from zonos_tpu.ops.rope import apply_rope, rope_table
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def matmul_w(x: jnp.ndarray, w) -> jnp.ndarray:
-    """Dense matmul that accepts either a plain matrix or an int8-quantized
-    ``{"q": int8 [.., in, out], "s": bf16 [out]}`` weight.  Dequantization is
-    a cast fused into the matmul operand read — the point is halving the HBM
-    weight traffic of the (bandwidth-bound) decode step, not int8 math."""
+    """Dense matmul that accepts a plain matrix, an int8-quantized
+    ``{"q": int8 [in, out], "s": bf16 [out]}`` weight, or a group-wise
+    int4-quantized ``{"q4": int4 [in, out], "s4": bf16 [G, out]}`` weight.
+    Dequantization is a cast fused into the matmul operand read — the point
+    is shrinking the HBM weight traffic of the (bandwidth-bound) decode step,
+    not low-precision math.  XLA stores ``s4`` packed two nibbles per byte on
+    TPU, so int4 reads a quarter of the bf16 bytes."""
+    if isinstance(w, dict) and "q4" in w:
+        q, s = w["q4"], w["s4"]  # q int8 [in/2, out] nibble-packed halves, s [G, out]
+        dout = q.shape[-1]
+        G = s.shape[-2]
+        din = x.shape[-1]
+        gs = din // G
+        rows = 1
+        for dim in x.shape[:-1]:
+            rows *= dim
+        if _on_tpu() and rows <= 64 and din % (2 * gs) == 0 and dout % 128 == 0:
+            from zonos_tpu.ops.pallas_kernels import int4_matmul_pallas
+
+            y = int4_matmul_pallas(x.reshape(rows, din), q, s)
+            return y.reshape(*x.shape[:-1], dout).astype(x.dtype)
+        # fallback: unpack in XLA (materializes the bf16 weights — fine on
+        # CPU/tests and for large-M prefill where weights are re-used)
+        q32 = q.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(q32, 28), 28)  # rows [0, din/2)
+        hi = jnp.right_shift(jnp.left_shift(q32, 24), 28)  # rows [din/2, din)
+        qfull = jnp.concatenate([lo, hi], axis=-2).astype(x.dtype)
+        xg = x.reshape(*x.shape[:-1], G, gs)
+        y = jnp.einsum("...gi,gio->...go", xg, qfull.reshape(G, gs, dout))
+        return (y * s.astype(x.dtype)).sum(axis=-2)
     if isinstance(w, dict) and "q" in w:
         return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
     return x @ w
@@ -42,13 +75,54 @@ def matmul_w(x: jnp.ndarray, w) -> jnp.ndarray:
 
 def quantize_weight_int8(w: jnp.ndarray) -> dict:
     """Symmetric per-output-channel int8 quantization of [.., in, out]."""
-    import numpy as np
-
     wf = jnp.asarray(w, jnp.float32)
     scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return {"q": q, "s": scale[..., 0, :].astype(jnp.bfloat16)}
+
+
+def quantize_weight_int4(w: jnp.ndarray, group_size: int = 128) -> dict:
+    """Symmetric group-wise int4 quantization of ``[.., in, out]``.
+
+    Weights are grouped along the contraction (``in``) axis: each
+    ``group_size``-row block of every output column gets its own bf16 scale,
+    which keeps the quantization error local (AWQ/GPTQ-style layout) at ~3%
+    metadata overhead.  Values use the symmetric range [-7, 7].
+
+    Storage packs two 4-bit values per int8 byte by hand (even/odd ``in``
+    rows in the low/high nibble) rather than using the ``int4`` dtype —
+    sub-byte arrays cannot cross the jit boundary on every backend, while
+    int8 works everywhere and reads the same 0.5 bytes/weight from HBM.
+    ``matmul_w`` unpacks with two arithmetic shifts fused into the dot.
+
+    Packing runs on-device under one jit per tensor: XLA fuses the f32
+    convert into the reduction and the rounding into the int8 store, so no
+    f32 copy of the weights ever materializes (eager quantization of a
+    1.6B-param model OOMs the 16 GB chip; pulling the weights to host is
+    minutes through the tunneled backend)."""
+    *lead, din, dout = w.shape
+    if din % group_size or group_size % 2:
+        raise ValueError(f"in-dim {din} must divide into even group_size {group_size}")
+    G = din // group_size
+
+    if (din // 2) % group_size:
+        raise ValueError("din/2 must be a multiple of group_size (even group count)")
+
+    @jax.jit
+    def pack(w):
+        wg = w.astype(jnp.float32).reshape(*lead, G, group_size, dout)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2, keepdims=True) / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+        q = q.reshape(*lead, din, dout)
+        # halves layout: rows [0, din/2) in the low nibble, [din/2, din) in
+        # the high — unpacking is two shifts + one concat, no interleave
+        lo, hi = q[..., : din // 2, :], q[..., din // 2 :, :]
+        packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 0xF))
+        return packed, scale[..., 0, :].astype(jnp.bfloat16)
+
+    packed, scale = pack(w)
+    return {"q4": packed, "s4": scale}
 
 
 class KVCache(NamedTuple):
@@ -110,13 +184,31 @@ def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, a
     return x, k_cache, v_cache
 
 
+def _scan_unroll() -> int:
+    """Layer-scan unroll factor (ZONOS_TPU_SCAN_UNROLL, default 1).
+
+    Unrolling lets XLA overlap the HBM weight fetch of layer i+1 with the
+    compute of layer i at the cost of program size / compile time.
+    Measured on v5e (flagship int8 decode, batch 1): unroll=2 *hurts*
+    (RTF 2.61 vs 3.88) — XLA already pipelines the rolled scan well; keep
+    the default of 1."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("ZONOS_TPU_SCAN_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
 def _run_layers(cfg: BackboneConfig, params: dict, x, cache: KVCache, cos, sin, offset, attend):
     def body(carry, layer_in):
         lp, k_c, v_c = layer_in
         y, k_c, v_c = _mix(cfg, lp, carry, cos, sin, k_c, v_c, offset, attend)
         return y, (k_c, v_c)
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v), unroll=_scan_unroll()
+    )
     x = layer_norm(x, params["normf_scale"], params["normf_bias"], cfg.norm_epsilon)
     return x, KVCache(k_new, v_new)
 

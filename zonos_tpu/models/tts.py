@@ -334,15 +334,27 @@ class Zonos:
         embeddings/norms/conditioner weights stay bf16."""
         from zonos_tpu.models.backbone import quantize_weight_int8
 
+        return self._quantize(quantize_weight_int8)
+
+    def quantize_int4(self, group_size: int = 128) -> "Zonos":
+        """Group-wise int4 serving mode: a quarter of bf16's per-step HBM
+        weight bytes (XLA packs two nibbles per byte on TPU).  Larger numeric
+        cost than int8 — per-group scales keep the error local; intended for
+        throughput-first serving."""
+        from zonos_tpu.models.backbone import quantize_weight_int4
+
+        return self._quantize(lambda w: quantize_weight_int4(w, group_size))
+
+    def _quantize(self, qfn) -> "Zonos":
         if not self.config.backbone.is_transformer:
-            raise NotImplementedError("int8 quantization currently targets the transformer backbone")
+            raise NotImplementedError("weight quantization currently targets the transformer backbone")
         layers = dict(self.params["backbone"]["layers"])
         for name in ("wqkv", "wo", "w1", "w2"):
-            layers[name] = quantize_weight_int8(layers[name])
+            layers[name] = qfn(layers[name])
         self.params = {
             **self.params,
             "backbone": {**self.params["backbone"], "layers": layers},
-            "heads": quantize_weight_int8(self.params["heads"]),
+            "heads": qfn(self.params["heads"]),
         }
         self._generate_cache.clear()
         return self

@@ -259,3 +259,60 @@ def fused_sample_pallas(
         interpret=interpret,
     )(logits, gumbel)
     return out[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# int4 (nibble-packed) weight matmul for the bandwidth-bound decode step
+# ---------------------------------------------------------------------------
+
+
+def _int4_matmul_kernel(x_ref, q_ref, s_ref, o_ref, *, gs):
+    """One dout tile: x [M, din] @ unpack(q [din/2, TN]) * s [G, TN].
+
+    The packed weights stream from HBM at 0.5 bytes/weight and are expanded
+    to bf16 only inside VMEM — XLA cannot fuse the nibble shifts into a dot
+    operand, which is why the pure-XLA int4 path is *slower* than int8.
+    Packing layout: rows [0, din/2) in the low nibble, [din/2, din) in the
+    high (see quantize_weight_int4), so unpack is two shifts + one concat.
+    """
+    q = q_ref[...].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(q, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(q, 24), 28)
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [din, TN]
+    din, tn = w.shape
+    s = s_ref[...]  # [G, TN] bf16
+    w = (w.reshape(din // gs, gs, tn) * s[:, None, :]).reshape(din, tn)
+    o_ref[...] = jnp.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul_pallas(
+    x: jnp.ndarray,   # [M, din] (M small: decode rows)
+    q: jnp.ndarray,   # [din/2, dout] int8 nibble-packed
+    s: jnp.ndarray,   # [G, dout] bf16 group scales
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns x @ dequant(q, s) as f32 [M, dout]."""
+    M, din = x.shape
+    dout = q.shape[-1]
+    G = s.shape[-2]
+    gs = din // G
+    tn = 512 if dout % 512 == 0 else (256 if dout % 256 == 0 else 128)
+    # keep the bf16 weight tile under ~4 MB of VMEM
+    while din * tn * 2 > 4 * 1024 * 1024 and tn > 128:
+        tn //= 2
+    kernel = functools.partial(_int4_matmul_kernel, gs=gs)
+    return pl.pallas_call(
+        kernel,
+        grid=(dout // tn,),
+        in_specs=[
+            pl.BlockSpec((M, din), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din // 2, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, dout), jnp.float32),
+        interpret=interpret,
+    )(x, q, s)

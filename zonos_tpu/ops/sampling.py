@@ -23,12 +23,42 @@ TPU-first design differences from the reference:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = float("-inf")
+
+logger = logging.getLogger("zonos_tpu.sampling")
+trace_logger = logging.getLogger("zonos_tpu.sampling.trace")
+
+_TRACE_STATS = False
+
+
+def set_sampling_trace(on: bool) -> None:
+    """Enable per-step sampling-distribution stats (the reference's debug
+    instrumentation, zonos/sampling.py:206-230).  Trace-time switch: set it
+    BEFORE the first ``generate`` call so the compiled program includes the
+    host callback; enabling it later has no effect on cached programs."""
+    global _TRACE_STATS
+    _TRACE_STATS = bool(on)
+
+
+def _emit_prob_stats(probs) -> None:
+    """Host-side callback: entropy / top-prob / support-size per codebook."""
+    import numpy as np
+
+    p = np.asarray(probs, np.float32)  # [B, K, V]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.nansum(np.where(p > 0, p * np.log(p), 0.0), axis=-1)
+    trace_logger.debug(
+        "probs: top=%s entropy=%s support=%s",
+        np.round(p.max(axis=-1), 4).tolist(),
+        np.round(ent, 3).tolist(),
+        (p > 1e-6).sum(axis=-1).tolist(),
+    )
 
 
 @dataclass(frozen=True)
@@ -176,4 +206,6 @@ def sample_from_logits(
         probs = apply_top_k(probs, p.top_k)
     if p.min_p > 0:
         probs = apply_min_p(probs, p.min_p)
+    if _TRACE_STATS:
+        jax.debug.callback(_emit_prob_stats, probs)
     return categorical_race(key, probs)

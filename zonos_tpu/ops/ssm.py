@@ -36,7 +36,18 @@ def ssd_chunked(
     init_state: jnp.ndarray | None = None,  # [B, H, P, N]
     chunk: int = 64,
 ):
-    """Full-sequence SSD. Returns (y [B, L, H, P], final_state [B, H, P, N])."""
+    """Full-sequence SSD. Returns (y [B, L, H, P], final_state [B, H, P, N]).
+
+    With ``ZONOS_TPU_PALLAS=1`` on TPU dispatches to the fused Pallas kernel
+    (ops/pallas_ssm.py); this XLA formulation is the fallback and oracle.
+    """
+    from zonos_tpu.ops.attention import use_pallas
+
+    if use_pallas() and Bm.shape[2] == 1:
+        from zonos_tpu.ops.pallas_ssm import ssd_chunked_pallas
+
+        return ssd_chunked_pallas(x, dt, A, Bm, Cm, D, init_state=init_state, chunk=chunk)
+
     Bsz, L, H, P = x.shape
     N = Bm.shape[-1]
     pad = (-L) % chunk
