@@ -164,6 +164,24 @@ def init_transformer_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloa
     }
 
 
+def _use_fused_tail(cfg: BackboneConfig, lp: dict, S: int) -> bool:
+    """Dispatch the fused layer-tail kernel (ops/pallas_decode.py) on the
+    int8 decode step.  Opt-in via ZONOS_TPU_FUSED_TAIL=1 until measured
+    faster than the XLA schedule on hardware."""
+    import os
+
+    if os.environ.get("ZONOS_TPU_FUSED_TAIL") != "1":
+        return False
+    if S != 1 or not _on_tpu():
+        return False
+    if not all(isinstance(lp.get(n), dict) and "q" in lp[n] for n in ("wo", "w1", "w2")):
+        return False
+    d, inter = cfg.d_model, cfg.mlp_hidden
+    if d % 512 or inter % 256:
+        return False
+    return True
+
+
 def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, attend):
     """Shared attention block body: norm -> qkv -> rope -> cache -> attend -> out."""
     B, S, d = x.shape
@@ -176,6 +194,17 @@ def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, a
     v = v.reshape(B, S, Hkv, hd)
     k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offset)
     y = attend(q, k_cache, v_cache)
+    if _use_fused_tail(cfg, lp, S):
+        from zonos_tpu.ops.pallas_decode import fused_layer_tail_pallas
+
+        x = fused_layer_tail_pallas(
+            y.reshape(B, H * hd), x[:, 0],
+            lp["wo"]["q"], lp["wo"]["s"],
+            lp["norm2_scale"], lp["norm2_bias"],
+            lp["w1"]["q"], lp["w1"]["s"], lp["w2"]["q"], lp["w2"]["s"],
+            eps=cfg.norm_epsilon,
+        )[:, None]
+        return x, k_cache, v_cache
     y = matmul_w(y.reshape(B, S, H * hd), lp["wo"])
     x = x + y
     h = layer_norm(x, lp["norm2_scale"], lp["norm2_bias"], cfg.norm_epsilon)

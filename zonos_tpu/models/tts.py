@@ -359,6 +359,19 @@ class Zonos:
         self._generate_cache.clear()
         return self
 
+    def shard(self, mesh) -> "Zonos":
+        """Place the parameters on a ``("data", "model")`` mesh with the
+        serving shardings (TP attention heads / MLP hidden / vocab along
+        ``model``; see parallel/sharding.py).  Subsequent ``generate`` calls
+        jit against the sharded params, and XLA propagates the layout through
+        the whole decode program — batches shard along ``data``, TP-partial
+        logits all-reduce over ``model`` (SURVEY.md §2.4)."""
+        from zonos_tpu.parallel.sharding import shard_params
+
+        self.params = shard_params(mesh, self.params)
+        self._generate_cache.clear()
+        return self
+
     @classmethod
     def from_local(cls, config_path: str, model_path: str | None = None) -> "Zonos":
         from zonos_tpu.utils.checkpoint import load_zonos_checkpoint
