@@ -139,3 +139,18 @@ def test_random_sentence_offline():
     # unknown language falls back without network
     s_xx = SpeakerUtils.random_sentence("tlh")
     assert isinstance(s_xx, str)
+
+
+def test_phase_timer_and_trace(tmp_path):
+    from zonos_tpu.utils.profiling import PhaseTimer, device_trace
+
+    lines = []
+    t = PhaseTimer(printer=lines.append)
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    t.report()
+    assert any("a" in l for l in lines) and any("total" in l for l in lines)
+    with device_trace(None):  # no-op path
+        pass

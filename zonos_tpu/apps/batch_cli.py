@@ -93,13 +93,13 @@ def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    t0 = time.perf_counter()
-    model = load_model(args)
-    print(f"[t] model load: {time.perf_counter() - t0:.1f}s")
+    from zonos_tpu.utils.profiling import PhaseTimer, device_trace
 
-    t1 = time.perf_counter()
-    speaker = make_speaker(args, model)
-    print(f"[t] speaker embed: {time.perf_counter() - t1:.1f}s")
+    timer = PhaseTimer()
+    with timer.phase("model load"):
+        model = load_model(args)
+    with timer.phase("speaker embed"):
+        speaker = make_speaker(args, model)
 
     texts = collect_texts(args)
     # prepend the prefix-audio transcript so continuation text flows naturally
@@ -116,26 +116,27 @@ def main(argv: list[str] | None = None) -> None:
     all_wav_paths: list[str] = []
     t2 = time.perf_counter()
     idx = 0
-    for rep in range(args.batch_repeat):
-        seed = args.seed + rep
-        for chunk in chunks(texts, max_per_batch):
-            bsz = len(chunk)
-            prefix = prefix_codes(args, model, bsz) if args.prefix_audio else None
-            cond = cond_dict_from_args(args, list(chunk), speaker)
-            conditioning = model.prepare_conditioning(cond)
-            codes = model.generate(
-                conditioning,
-                audio_prefix_codes=prefix,
-                max_new_tokens=args.max_new_tokens,
-                cfg_scale=args.cfg_scale,
-                batch_size=bsz,
-                sampling_params=sampling_params_from_args(args),
-                seed=seed,
-            )
-            paths = [os.path.join(args.output_dir, f"gen_{idx + i:04d}_s{seed}.wav") for i in range(bsz)]
-            model.autoencoder.save_codes(paths, codes)
-            all_wav_paths += paths
-            idx += bsz
+    with device_trace(getattr(args, "profile", None)):
+        for rep in range(args.batch_repeat):
+            seed = args.seed + rep
+            for chunk in chunks(texts, max_per_batch):
+                bsz = len(chunk)
+                prefix = prefix_codes(args, model, bsz) if args.prefix_audio else None
+                cond = cond_dict_from_args(args, list(chunk), speaker)
+                conditioning = model.prepare_conditioning(cond)
+                codes = model.generate(
+                    conditioning,
+                    audio_prefix_codes=prefix,
+                    max_new_tokens=args.max_new_tokens,
+                    cfg_scale=args.cfg_scale,
+                    batch_size=bsz,
+                    sampling_params=sampling_params_from_args(args),
+                    seed=seed,
+                )
+                paths = [os.path.join(args.output_dir, f"gen_{idx + i:04d}_s{seed}.wav") for i in range(bsz)]
+                model.autoencoder.save_codes(paths, codes)
+                all_wav_paths += paths
+                idx += bsz
     gen_s = time.perf_counter() - t2
     total_audio = 0.0
     for p in all_wav_paths:

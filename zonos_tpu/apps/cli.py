@@ -34,24 +34,30 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> None:
+    from zonos_tpu.utils.profiling import PhaseTimer, device_trace
+
     args = build_parser().parse_args(argv)
+    timer = PhaseTimer()
     print("Loading model...")
-    model = load_model(args)
-    speaker = make_speaker(args, model)
+    with timer.phase("load"):
+        model = load_model(args)
+    with timer.phase("speaker"):
+        speaker = make_speaker(args, model)
     prefix = None if args.no_prefix_silence and not args.prefix_audio else prefix_codes(args, model, args.batch_size)
 
     cond = cond_dict_from_args(args, args.text, speaker)
     conditioning = model.prepare_conditioning(cond)
     print("Generating...")
-    codes = model.generate(
-        conditioning,
-        audio_prefix_codes=prefix,
-        max_new_tokens=args.max_new_tokens,
-        cfg_scale=args.cfg_scale,
-        batch_size=args.batch_size,
-        sampling_params=sampling_params_from_args(args),
-        seed=args.seed,
-    )
+    with timer.phase("generate"), device_trace(args.profile):
+        codes = model.generate(
+            conditioning,
+            audio_prefix_codes=prefix,
+            max_new_tokens=args.max_new_tokens,
+            cfg_scale=args.cfg_scale,
+            batch_size=args.batch_size,
+            sampling_params=sampling_params_from_args(args),
+            seed=args.seed,
+        )
     outputs = (
         [args.output]
         if args.batch_size == 1

@@ -60,6 +60,8 @@ def add_model_args(ap: argparse.ArgumentParser) -> None:
     g.add_argument("--verbose", action="store_true")
     g.add_argument("--verbose_sampling", action="store_true",
                    help="Per-step sampling-distribution stats (zonos_tpu.sampling.trace logger).")
+    g.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler device trace of generation into DIR.")
 
 
 def sampling_params_from_args(args) -> dict:

@@ -44,13 +44,27 @@ def save_audio(path: str, wav: np.ndarray, sr: int) -> None:
 
 
 def resample(wav: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
-    """Polyphase resample along the last axis."""
+    """Polyphase resample along the last axis.
+
+    Dispatches to the native C++ engine (csrc/audio_engine.cpp, same Kaiser
+    filter design) when built; scipy otherwise."""
     if sr_from == sr_to:
         return np.asarray(wav, np.float32)
     g = math.gcd(sr_from, sr_to)
-    return resample_poly(np.asarray(wav, np.float64), sr_to // g, sr_from // g, axis=-1).astype(
-        np.float32
-    )
+    up, down = sr_to // g, sr_from // g
+
+    wav2 = np.asarray(wav, np.float32)
+    squeeze = wav2.ndim == 1
+    if squeeze:
+        wav2 = wav2[None, :]
+    if wav2.ndim == 2:
+        from zonos_tpu.audio.native import resample_native
+
+        out = resample_native(wav2, up, down)
+        if out is not None:
+            return out[0] if squeeze else out
+
+    return resample_poly(np.asarray(wav, np.float64), up, down, axis=-1).astype(np.float32)
 
 
 def to_mono(wav: np.ndarray) -> np.ndarray:

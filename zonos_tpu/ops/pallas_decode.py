@@ -25,6 +25,15 @@ the corresponding w2 row tile — no weight repacking, the canonical
 
 int8-serving only (the bf16 path has no scales and is already simpler for
 XLA); dispatched from models/backbone.py when shapes divide the tiles.
+
+MEASURED RESULT on the available v5e runtime: 6.97 ms per layer-tail in a
+dependent chain — ~100x the DMA roofline.  Microbenchmarks isolate the
+cause to per-grid-step overhead (~17-107 us/step; a bare tile-streaming
+kernel tops out at ~60 GB/s vs ~500 GB/s effective for XLA's schedule), so
+ANY many-step Pallas grid loses to XLA on this runtime regardless of kernel
+body.  The kernel therefore stays an opt-in (ZONOS_TPU_FUSED_TAIL=1)
+correctness artifact and a ready vehicle for runtimes with normal ~1 us
+grid steps; the XLA decode path remains the default.
 """
 
 from __future__ import annotations
