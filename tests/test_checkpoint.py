@@ -114,3 +114,60 @@ def test_orbax_train_state_roundtrip(tmp_path):
     step, p2, os2 = out
     assert step == 5
     np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+
+
+def _tiny_hybrid_cfg():
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_layer_idx": [1],
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16}}
+    )
+    return ZonosConfig.from_dict(d)
+
+
+def test_hybrid_safetensors_conversion_round_trip(tmp_path):
+    """mamba_ssm-layout hybrid checkpoint -> JAX pytree -> generate."""
+    from safetensors.numpy import save_file
+
+    from zonos_tpu.models.hybrid import _dims
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.utils.checkpoint import load_zonos_checkpoint
+
+    cfg = _tiny_hybrid_cfg()
+    bb = cfg.backbone
+    d, d_inner, H, G, N, K, conv_dim = _dims(bb)
+    rng = np.random.default_rng(1)
+    sd = {}
+    for i in range(bb.n_layer):
+        p = f"backbone.layers.{i}."
+        sd[p + "norm.weight"] = rng.normal(size=(d,))
+        if i == 1:  # attention layer
+            aH, aHkv, ahd = 4, 2, 16
+            sd[p + "mixer.in_proj.weight"] = rng.normal(size=((aH + 2 * aHkv) * ahd, d))
+            sd[p + "mixer.out_proj.weight"] = rng.normal(size=(d, aH * ahd))
+        else:  # Mamba2 mixer
+            zxbcdt = d_inner + conv_dim + H
+            sd[p + "mixer.in_proj.weight"] = rng.normal(size=(zxbcdt, d))
+            sd[p + "mixer.conv1d.weight"] = rng.normal(size=(conv_dim, 1, K))
+            sd[p + "mixer.conv1d.bias"] = rng.normal(size=(conv_dim,))
+            sd[p + "mixer.A_log"] = rng.normal(size=(H,))
+            sd[p + "mixer.D"] = rng.normal(size=(H,))
+            sd[p + "mixer.dt_bias"] = rng.normal(size=(H,))
+            sd[p + "mixer.norm.weight"] = rng.normal(size=(d_inner,))
+            sd[p + "mixer.out_proj.weight"] = rng.normal(size=(d, d_inner))
+    sd["backbone.norm_f.weight"] = rng.normal(size=(d,))
+    base = _fake_reference_state_dict(_tiny_cfg())
+    for k, v in base.items():  # embeddings / heads / conditioners are shared
+        if not k.startswith("backbone."):
+            sd[k] = v
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    path = str(tmp_path / "model.safetensors")
+    save_file(sd, path)
+    params = load_zonos_checkpoint(cfg, path)
+    model = Zonos(cfg, params=params)
+    prefix = jnp.zeros((2, 4, d), jnp.bfloat16)
+    out = model.generate(prefix, max_new_tokens=4, seed=0, progress_bar=False)
+    assert out[0].shape[0] == 9
