@@ -1,0 +1,44 @@
+"""Streaming synthesis: chunk concatenation must equal the non-streaming
+decode of the same codes (margins cover the vocoder receptive field)."""
+
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+from zonos_tpu.models.tts import Zonos
+from zonos_tpu.ops.sampling import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def model():
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    return Zonos(ZonosConfig.from_dict(d), seed=0)
+
+
+def test_stream_matches_full_decode(model):
+    prefix = jnp.zeros((2, 4, 64), jnp.bfloat16)
+    kw = dict(max_new_tokens=40, seed=11,
+              sampling_params=SamplingParams.greedy())
+    chunks = list(model.stream_generate(prefix, chunk_frames=12, margin_frames=16, **kw))
+    assert len(chunks) >= 2
+    streamed = np.concatenate(chunks)
+
+    codes = model.generate(prefix, progress_bar=False, **kw)[0]
+    full = np.asarray(model.autoencoder.decode(codes[None]))[0, 0]
+
+    assert streamed.shape == full.shape
+    scale = max(np.abs(full).max(), 1e-6)
+    np.testing.assert_allclose(streamed, full, atol=5e-3 * scale)
+
+
+def test_stream_rejects_batch(model):
+    prefix = jnp.zeros((4, 4, 64), jnp.bfloat16)
+    with pytest.raises(ValueError):
+        next(model.stream_generate(prefix))

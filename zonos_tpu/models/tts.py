@@ -539,3 +539,91 @@ class Zonos:
             end = min(int(eos_pos[i]), out.shape[2])
             results.append(out[i, :, prefix_audio_len:end].copy())
         return results
+
+    def stream_generate(
+        self,
+        prefix_conditioning: jnp.ndarray,  # [2, cond_len, d_model] (batch 1)
+        audio_prefix_codes: np.ndarray | None = None,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: dict | SamplingParams | None = None,
+        seed: int = 423,
+        chunk_frames: int = 43,
+        margin_frames: int = 32,
+    ):
+        """Streaming synthesis (batch 1): yields float32 waveform chunks
+        (44.1 kHz, [samples]) while the AR decode runs, instead of waiting
+        for the full utterance.  Time-to-first-audio ≈ prefill +
+        ``chunk_frames`` decode steps (~0.5 s of audio per 43 frames).
+
+        Each yielded sample is *final*: the vocoder is convolutional, so a
+        window is decoded with ``margin_frames`` of code context on both
+        sides and only the interior is emitted — the concatenation equals
+        the non-streaming decode of the same codes (the margin must cover
+        the DAC decoder's receptive field; 32 frames ≈ 0.37 s is ample).
+
+        Not in the reference (its closest feature is the per-step progress
+        callback, zonos/model.py:430-432); loudness normalization and fades
+        are whole-utterance post-steps and do not apply when streaming.
+        """
+        if prefix_conditioning.shape[0] != 2:
+            raise ValueError("stream_generate supports batch_size=1 only")
+        sampling = sampling_params
+        if sampling is None:
+            sampling = SamplingParams()
+        elif isinstance(sampling, dict):
+            sampling = SamplingParams(**sampling)
+
+        K = self.config.num_codebooks
+        prefix_audio_len = 0 if audio_prefix_codes is None else audio_prefix_codes.shape[2]
+        statics = GenerateStatics(
+            batch_size=1,
+            cond_len=int(prefix_conditioning.shape[1]),
+            prefix_audio_len=prefix_audio_len,
+            max_new_tokens=max_new_tokens,
+            sampling=sampling,
+        )
+        init, loop = self._get_generate_parts(statics)
+        prefix_codes = (
+            jnp.zeros((1, K, 0), jnp.int32)
+            if audio_prefix_codes is None
+            else jnp.asarray(audio_prefix_codes, jnp.int32)
+        )
+        cfg_scale_arr = jnp.float32(cfg_scale)
+        state = init(
+            self.params,
+            jnp.asarray(prefix_conditioning, jnp.bfloat16),
+            prefix_codes,
+            cfg_scale_arr,
+            jax.random.key(seed),
+        )
+
+        hop = 512
+        emitted = 0  # frames emitted, relative to prefix_audio_len
+
+        def finalized_codes():
+            """Codes reverted from the delay buffer, EOS-trimmed."""
+            out = np.asarray(revert_delay_pattern(jnp.asarray(state["delayed"])))
+            offset = int(state["offset"])
+            out = out[0, :, : offset - K]
+            eos_hits = out[0] == self.eos_token_id
+            end = int(eos_hits.argmax()) if eos_hits.any() else out.shape[1]
+            out = np.where(out >= self.config.codebook_size, 0, out)
+            return out[:, prefix_audio_len:end]
+
+        def decode_window(codes, w0, lo, hi):
+            """Decode codes[:, w0:] and return samples for frames [lo, hi)."""
+            wav = np.asarray(self.autoencoder.decode(codes[None, :, w0:]))[0, 0]
+            return wav[(lo - w0) * hop : (hi - w0) * hop]
+
+        done = False
+        while not done:
+            state = loop(self.params, state, cfg_scale_arr, jnp.int32(chunk_frames))
+            done = int(jnp.max(state["remaining"])) <= 0
+            codes = finalized_codes()
+            avail = codes.shape[1]
+            hi = avail if done else max(emitted, avail - margin_frames)
+            if hi > emitted:
+                w0 = max(0, emitted - margin_frames)
+                yield decode_window(codes, w0, emitted, hi)
+                emitted = hi
