@@ -40,9 +40,9 @@ def main() -> None:
     cfg_dict = HYBRID_CONFIG_DICT if arch == "hybrid" else TRANSFORMER_CONFIG_DICT
     cfg = ZonosConfig.from_dict(cfg_dict)
     model = Zonos(cfg, seed=0)
-    if quant == "int8" and cfg.backbone.is_transformer:
+    if quant == "int8":
         model.quantize_int8()
-    elif quant == "int4" and cfg.backbone.is_transformer:
+    elif quant == "int4":
         model.quantize_int4()
     params = jax.device_put(model.params)
 

@@ -104,3 +104,79 @@ def test_sharded_generate_matches_single_device():
         total += g[:, :n].size
     assert agree / total > 0.8, f"token agreement {agree}/{total}"
 
+
+
+def _tiny_transformer():
+    import copy
+
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    return ZonosConfig.from_dict(d)
+
+
+def test_tp_int8_matches_single_device():
+    """TP=2 sharded int8 forward == unsharded int8 forward (quantized
+    weights get structural specs: q/s shard with the out-features)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zonos_tpu.models.backbone import transformer_forward
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.parallel.mesh import make_mesh
+    from zonos_tpu.parallel.sharding import param_shardings, shard_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    cfg = _tiny_transformer()
+    model = Zonos(cfg, seed=0).quantize_int8()
+    x = jax.random.normal(jax.random.key(1), (2, 6, 64), jnp.float32)
+
+    ref = transformer_forward(cfg.backbone, model.params["backbone"], x)
+
+    mesh = make_mesh(1, 2, jax.devices()[:2])
+    sharded = shard_params(mesh, model.params)
+    fn = jax.jit(
+        lambda p, x: transformer_forward(cfg.backbone, p["backbone"], x),
+        in_shardings=(param_shardings(mesh, model.params), NamedSharding(mesh, P())),
+    )
+    got = fn(sharded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_hybrid_shard_generate():
+    """Sharded hybrid model (attention/MLP TP, mamba replicated) generates."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+    from zonos_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {
+            "d_model": 64,
+            "n_layer": 4,
+            "attn_layer_idx": [1, 3],
+            "attn_mlp_d_intermediate": 128,
+            "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+            "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16, "rotary_emb_dim": 8},
+        }
+    )
+    mesh = make_mesh(1, 2, jax.devices()[:2])
+    model = Zonos(ZonosConfig.from_dict(d), seed=0).shard(mesh)
+    prefix = jnp.zeros((2, 4, 64), jnp.bfloat16)
+    out = model.generate(prefix, max_new_tokens=6, seed=0,
+                         sampling_params=SamplingParams.greedy(), progress_bar=False)
+    assert out[0].shape[0] == 9

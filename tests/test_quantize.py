@@ -99,3 +99,73 @@ def test_quantized_generate_end_to_end():
                          sampling_params=SamplingParams.greedy(), progress_bar=False)
     assert out[0].shape[0] == 9
     assert ((out[0] >= 0) & (out[0] < 1024)).all()
+
+
+def test_hybrid_int8_generate_end_to_end():
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {
+            "d_model": 64,
+            "n_layer": 4,
+            "attn_layer_idx": [1, 3],
+            "attn_mlp_d_intermediate": 128,
+            "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+            "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16, "rotary_emb_dim": 8},
+        }
+    )
+    model = Zonos(ZonosConfig.from_dict(d), seed=0).quantize_int8()
+    # every dense projection in every layer got the quantized form
+    for lp in model.params["backbone"]["layers_list"]:
+        for name in ("in_proj", "out_proj", "wqkv", "wo", "w1", "w2"):
+            if name in lp:
+                assert isinstance(lp[name], dict) and "q" in lp[name]
+    prefix = jnp.zeros((2, 4, 64), jnp.bfloat16)
+    out = model.generate(prefix, max_new_tokens=6, seed=0,
+                         sampling_params=SamplingParams.greedy(), progress_bar=False)
+    assert out[0].shape[0] == 9
+    assert ((out[0] >= 0) & (out[0] < 1024)).all()
+
+
+def test_hybrid_int8_matches_bf16_logits_closely():
+    """Quantized hybrid decode should track the bf16 model (distribution-level)."""
+    import jax
+
+    from zonos_tpu.models.hybrid import (
+        create_hybrid_cache,
+        hybrid_prefill,
+        init_hybrid_params,
+    )
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.backbone import quantize_weight_int8
+
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {
+            "d_model": 64,
+            "n_layer": 4,
+            "attn_layer_idx": [1, 3],
+            "attn_mlp_d_intermediate": 128,
+            "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+            "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16, "rotary_emb_dim": 8},
+        }
+    )
+    cfg = ZonosConfig.from_dict(d).backbone
+    params = init_hybrid_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    qparams = {**params, "layers_list": []}
+    for lp in params["layers_list"]:
+        lp = dict(lp)
+        for name in ("in_proj", "out_proj", "wqkv", "wo", "w1", "w2"):
+            if name in lp:
+                lp[name] = quantize_weight_int8(lp[name])
+        qparams["layers_list"].append(lp)
+    x = jax.random.normal(jax.random.key(1), (2, 7, 64), jnp.float32)
+    cache = create_hybrid_cache(cfg, 2, 16, jnp.float32)
+    h_ref, _ = hybrid_prefill(cfg, params, x, cache)
+    h_q, _ = hybrid_prefill(cfg, qparams, x, cache)
+    err = np.abs(np.asarray(h_q) - np.asarray(h_ref)).mean()
+    scale = np.abs(np.asarray(h_ref)).mean() + 1e-6
+    assert err / scale < 0.08

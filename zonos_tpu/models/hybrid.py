@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zonos_tpu.config import BackboneConfig
+from zonos_tpu.models.backbone import matmul_w
 from zonos_tpu.ops.attention import decode_attention, prefill_attention, update_kv_cache
 from zonos_tpu.ops.norms import layer_norm, rms_norm
 from zonos_tpu.ops.rope import apply_rope, rope_table
@@ -138,7 +139,7 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     d, d_inner, H, G, N, K, conv_dim = _dims(cfg)
     P = cfg.ssm_headdim
     B_, S, _ = x.shape
-    zxbcdt = x @ lp["in_proj"]
+    zxbcdt = matmul_w(x, lp["in_proj"])
     # split: z [d_inner] | xBC [conv_dim] | dt [H]
     z, xBC, dt_raw = (
         zxbcdt[..., :d_inner],
@@ -172,14 +173,14 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     y = y.reshape(B_, S, d_inner).astype(x.dtype)
     gated = y * jax.nn.silu(z)
     gated = rms_norm(gated, lp["mixer_norm"], cfg.norm_epsilon)
-    out = gated @ lp["out_proj"]
+    out = matmul_w(gated, lp["out_proj"])
     return out, {"conv": conv_state.astype(state["conv"].dtype), "ssm": ssm_state}
 
 
 def _attn_mixer(cfg, lp, x, state, pos, prefill: bool):
     H, Hkv, hd, rot = _attn_dims(cfg)
     B_, S, _ = x.shape
-    qkv = x @ lp["wqkv"]
+    qkv = matmul_w(x, lp["wqkv"])
     q, k, v = jnp.split(qkv, [H * hd, (H + Hkv) * hd], axis=-1)
     q = q.reshape(B_, S, H, hd)
     k = k.reshape(B_, S, Hkv, hd)
@@ -199,7 +200,7 @@ def _attn_mixer(cfg, lp, x, state, pos, prefill: bool):
         y = prefill_attention(q, k_c, v_c, seq_len=S)
     else:
         y = decode_attention(q, k_c, v_c, length=pos + 1)
-    y = y.reshape(B_, S, H * hd) @ lp["wo"]
+    y = matmul_w(y.reshape(B_, S, H * hd), lp["wo"])
     return y, {"k": k_c, "v": v_c}
 
 
@@ -212,8 +213,8 @@ def _block(cfg, i, lp, x, state, pos, prefill):
     x = x + y
     if "w1" in lp:
         h = _norm(cfg, x, lp["norm2_scale"], lp.get("norm2_bias"))
-        u, gate = jnp.split(h @ lp["w1"], 2, axis=-1)
-        x = x + (u * jax.nn.silu(gate)) @ lp["w2"]
+        u, gate = jnp.split(matmul_w(h, lp["w1"]), 2, axis=-1)
+        x = x + matmul_w(u * jax.nn.silu(gate), lp["w2"])
     return x, new_state
 
 

@@ -346,15 +346,31 @@ class Zonos:
         return self._quantize(lambda w: quantize_weight_int4(w, group_size))
 
     def _quantize(self, qfn) -> "Zonos":
-        if not self.config.backbone.is_transformer:
-            raise NotImplementedError("weight quantization currently targets the transformer backbone")
-        layers = dict(self.params["backbone"]["layers"])
-        for name in ("wqkv", "wo", "w1", "w2"):
-            layers[name] = qfn(layers[name])
+        def q_or_keep(w):
+            try:
+                return qfn(w)
+            except ValueError:  # e.g. int4 group_size does not divide this dim
+                return w
+
+        if self.config.backbone.is_transformer:
+            layers = dict(self.params["backbone"]["layers"])
+            for name in ("wqkv", "wo", "w1", "w2"):
+                layers[name] = q_or_keep(layers[name])
+            backbone = {**self.params["backbone"], "layers": layers}
+        else:
+            # hybrid: per-layer dicts; quantize every dense projection
+            layers_list = []
+            for lp in self.params["backbone"]["layers_list"]:
+                lp = dict(lp)
+                for name in ("in_proj", "out_proj", "wqkv", "wo", "w1", "w2"):
+                    if name in lp:
+                        lp[name] = q_or_keep(lp[name])
+                layers_list.append(lp)
+            backbone = {**self.params["backbone"], "layers_list": layers_list}
         self.params = {
             **self.params,
-            "backbone": {**self.params["backbone"], "layers": layers},
-            "heads": qfn(self.params["heads"]),
+            "backbone": backbone,
+            "heads": q_or_keep(self.params["heads"]),
         }
         self._generate_cache.clear()
         return self
