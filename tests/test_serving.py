@@ -1,0 +1,196 @@
+"""Serving layer tests: batched prefix conditioning parity, the continuous
+batcher, and the REST server end-to-end (tiny model, CPU)."""
+
+import copy
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+from zonos_tpu.conditioning import make_cond_dict
+from zonos_tpu.models.tts import Zonos
+from zonos_tpu.ops.sampling import SamplingParams
+from zonos_tpu.serving import ContinuousBatcher, TTSRequest, build_batch_prefix
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    return Zonos(ZonosConfig.from_dict(d), seed=0)
+
+
+def _spk(seed):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(1, 1, 128)).astype(np.float32)
+
+
+def test_batch_prefix_matches_single_requests(tiny_model):
+    """Each row of the merged prefix == prepare_conditioning of that request
+    alone (same text length so no padding difference; pad_multiple=1)."""
+    cd_a = make_cond_dict(text="Hello there", speaker=_spk(0), pitch_std=30.0)
+    cd_b = make_cond_dict(text="Hello there", speaker=_spk(1), pitch_std=90.0)
+    merged = build_batch_prefix(tiny_model, [cd_a, cd_b], pad_multiple=1)
+    ref_a = tiny_model.prepare_conditioning(make_cond_dict(text="Hello there", speaker=_spk(0), pitch_std=30.0))
+    ref_b = tiny_model.prepare_conditioning(make_cond_dict(text="Hello there", speaker=_spk(1), pitch_std=90.0))
+    assert merged.shape == (4, ref_a.shape[1], ref_a.shape[2])
+    # rows: [cond_a, cond_b, uncond_a, uncond_b]
+    np.testing.assert_allclose(np.asarray(merged[0], np.float32), np.asarray(ref_a[0], np.float32), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(merged[1], np.float32), np.asarray(ref_b[0], np.float32), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(merged[2], np.float32), np.asarray(ref_a[1], np.float32), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(merged[3], np.float32), np.asarray(ref_b[1], np.float32), atol=1e-2)
+
+
+def test_batch_prefix_per_row_uncond(tiny_model):
+    """A request leaving a conditioner unconditional gets its learned uncond
+    vector for its row only; the conditioned row is unaffected."""
+    cd_a = make_cond_dict(text="Mixed rows", speaker=_spk(0), pitch_std=55.0)
+    cd_b = make_cond_dict(text="Mixed rows", speaker=_spk(1),
+                          unconditional_keys=frozenset({"emotion", "vqscore_8", "dnsmos_ovrl", "pitch_std"}))
+    merged = build_batch_prefix(tiny_model, [cd_a, cd_b], pad_multiple=1)
+    ref_b = tiny_model.prepare_conditioning(
+        make_cond_dict(text="Mixed rows", speaker=_spk(1),
+                       unconditional_keys=frozenset({"emotion", "vqscore_8", "dnsmos_ovrl", "pitch_std"}))
+    )
+    np.testing.assert_allclose(np.asarray(merged[1], np.float32), np.asarray(ref_b[0], np.float32), atol=1e-2)
+
+
+def test_batch_prefix_pads_to_multiple(tiny_model):
+    cd = make_cond_dict(text="Pad me", speaker=_spk(0))
+    merged = build_batch_prefix(tiny_model, [cd], pad_multiple=32)
+    # cond_len = padded phoneme length + one slot per non-espeak conditioner
+    n_other = len(tiny_model.specs) - 1
+    assert (merged.shape[1] - n_other) % 32 == 0
+
+
+def test_batch_prefix_missing_required_raises(tiny_model):
+    cd = make_cond_dict(text="x", speaker=_spk(0))
+    cd.pop("speaker", None)
+    from zonos_tpu.conditioning import required_keys
+
+    if "speaker" not in required_keys(tiny_model.specs):
+        pytest.skip("speaker not required in this config")
+    with pytest.raises(ValueError, match="required"):
+        build_batch_prefix(tiny_model, [cd])
+
+
+def test_continuous_batcher_merges_requests(tiny_model):
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=500.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        reqs = [
+            TTSRequest(
+                cond_dict=make_cond_dict(text=f"request number {i}", speaker=_spk(i)),
+                sampling=SamplingParams.greedy(),
+                max_new_tokens=18,
+            )
+            for i in range(4)
+        ]
+        pendings = [batcher.submit(r) for r in reqs]
+        wavs = [p.wait(timeout=900) for p in pendings]
+        for w in wavs:
+            assert w.ndim == 2 and w.shape[-1] > 0
+        s = batcher.snapshot()
+        assert s["completed"] == 4
+        assert s["max_batch_seen"] >= 2, f"no batching happened: {s}"
+        assert s["batches"] < 4
+    finally:
+        batcher.close()
+
+
+def test_continuous_batcher_groups_by_key(tiny_model):
+    """Different sampling params must not share a device batch."""
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=300.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        p1 = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="greedy one", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(), max_new_tokens=18))
+        p2 = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="sampled one", speaker=_spk(1)),
+            sampling=SamplingParams(min_p=0.1), max_new_tokens=18))
+        p1.wait(timeout=900)
+        p2.wait(timeout=900)
+        s = batcher.snapshot()
+        assert s["batches"] == 2 and s["max_batch_seen"] == 1
+    finally:
+        batcher.close()
+
+
+# ---------------------------------------------------------------------------
+# REST server
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server(tiny_model):
+    from zonos_tpu.serving import ServerState, serve
+
+    tiny_model.make_speaker_embedding = lambda wav, sr: _spk(99)  # avoid the heavy tower
+    state = ServerState(tiny_model, model_name="tiny", max_batch=4, max_wait_ms=100.0,
+                        cond_pad_multiple=16)
+    httpd = serve(state, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}", state
+    httpd.shutdown()
+    state.close()
+
+
+def _post_json(url, obj, timeout=900):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_server_health_and_stats(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/v1/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+        assert "batches" in json.loads(r.read())
+
+
+def test_server_tts_roundtrip(server):
+    base, _ = server
+    body = {"text": "Server test.", "max_seconds": 0.25,
+            "sampling": {"temperature": 0.0, "linear": 0.0, "conf": 0.0,
+                         "repetition_penalty": 1.0},
+            "speaker_id": None}
+    body.pop("speaker_id")
+    # register a speaker first (tiny model requires one)
+    sr = 16000
+    pcm = (np.sin(np.linspace(0, 440 * 2 * np.pi, sr)) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    req = urllib.request.Request(base + "/v1/speakers", data=buf.getvalue(),
+                                 headers={"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        sid = json.loads(r.read())["speaker_id"]
+    body["speaker_id"] = sid
+    with _post_json(base + "/v1/tts", body) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 44100
+        assert w.getnframes() > 0
+
+
+def test_server_errors(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(base + "/v1/tts", {"max_seconds": 0.1}, timeout=60)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_json(base + "/v1/tts", {"text": "x", "speaker_id": "nope"}, timeout=60)
+    assert e.value.code == 400

@@ -1,0 +1,292 @@
+"""Continuous batching for TTS serving.
+
+The reference has no serving layer at all — its only concurrency is batching
+inside one ``generate()`` call driven by a CLI (SURVEY.md §1 "no serving
+layer", zonos/zonos_batch_cli.py).  This module is the production-serving
+equivalent designed for how a jitted TPU program wants to be fed:
+
+- **Requests are merged into device batches** by a scheduler thread: the
+  first request opens a batch window (``max_wait_ms``); whatever compatible
+  requests arrive inside it ride along, up to ``max_batch``.
+- **Compiled-program reuse is explicit.** ``Zonos.generate`` compiles one
+  program per (batch, cond_len, max_new_tokens, sampling) signature, so the
+  batcher snaps every axis to a bucket: phoneme prefixes are left-padded
+  (PAD symbol — the reference's own intra-batch padding semantics,
+  zonos/conditioning.py:186-191) to a multiple of ``cond_pad_multiple``, and
+  the batch is padded up to the next size in ``batch_buckets`` by repeating
+  the last row (surplus outputs are dropped on the host).  Steady-state
+  serving therefore runs entirely from the jit cache.
+- **Heterogeneous conditioning in one batch**: each request keeps its own
+  speaker embedding / emotion / rates; a request that leaves a conditioner
+  unconditional gets the learned uncond vector substituted *for its row
+  only* — per-row semantics identical to running it alone.
+
+Requests with different sampling params / cfg_scale / max_new_tokens are
+incompatible (sampling is compiled in; cfg_scale is a single scalar per
+program invocation) — the scheduler groups by that key and never mixes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.conditioning import _project, conditioner_forward, required_keys
+from zonos_tpu.ops.norms import layer_norm
+from zonos_tpu.ops.sampling import SamplingParams
+from zonos_tpu.text import phonemize, tokenize_phonemes
+from zonos_tpu.text.symbols import PAD_ID
+
+FRAME_RATE = 86.0
+
+
+# ---------------------------------------------------------------------------
+# Batched prefix conditioning
+# ---------------------------------------------------------------------------
+
+
+def build_batch_prefix(model, cond_dicts: list[dict], pad_multiple: int = 32) -> jnp.ndarray:
+    """Merge per-request cond dicts (``make_cond_dict`` outputs) into one
+    ``[2B, cond_len, d_model]`` prefix (cond rows stacked over uncond rows).
+
+    Equivalent to ``model.prepare_conditioning`` per request, except rows
+    share one padded phoneme length (rounded up to ``pad_multiple`` to bound
+    the number of compiled generate programs)."""
+    specs = model.specs
+    pc_cfg = model.config.prefix_conditioner
+    pp = model.params["prefix_conditioner"]
+    eps = model.config.backbone.norm_epsilon
+    B = len(cond_dicts)
+    req_keys = required_keys(specs)
+
+    # phonemize every text in one call; left-pad ids to the bucketed length
+    texts: list[str] = []
+    langs: list[str] = []
+    for cd in cond_dicts:
+        t, l = cd["espeak"]
+        if len(t) != 1:
+            raise ValueError("one text per request (batching is across requests)")
+        texts.extend(t)
+        langs.extend(l)
+    ids, _ = tokenize_phonemes(phonemize(texts, langs))
+    L = ids.shape[1]
+    Lp = -(-L // pad_multiple) * pad_multiple
+    ids_padded = np.full((B, Lp), PAD_ID, np.int32)
+    ids_padded[:, Lp - L :] = ids
+
+    def rows(spec, uncond: bool) -> jnp.ndarray:
+        """[B, seq, d] output of one conditioner with per-row uncond fill."""
+        p = pp[spec.name]
+        if spec.name == "espeak":
+            return conditioner_forward(p, spec, jnp.asarray(ids_padded))
+        vals = []
+        for cd in cond_dicts:
+            v = cd.get(spec.name) if (not uncond or spec.name in req_keys) else None
+            vals.append(v)
+        missing = [v is None for v in vals]
+        if spec.name in req_keys and any(missing):
+            raise ValueError(f"Missing required conditioning key: {spec.name}")
+        if all(missing):
+            return conditioner_forward(p, spec, None)  # [1, 1, d], broadcast below
+        dim = int(np.asarray(next(v for v in vals if v is not None)).reshape(1, -1).shape[-1])
+        dtype = np.int32 if spec.type == "Integer" else np.float32
+        arr = np.zeros((B, 1, dim), dtype)
+        for i, v in enumerate(vals):
+            if v is not None:
+                arr[i, 0] = np.asarray(v, dtype).reshape(-1)[:dim]
+        out = conditioner_forward(p, spec, jnp.asarray(arr))
+        if any(missing):
+            unc = p["uncond_vector"][None, None, :]
+            out = jnp.where(jnp.asarray(missing)[:, None, None], unc, out)
+        return out
+
+    def prefix(uncond: bool) -> jnp.ndarray:
+        conds = [rows(s, uncond) for s in specs]
+        conds = [jnp.broadcast_to(c, (B, *c.shape[1:])) if c.shape[0] == 1 else c for c in conds]
+        x = jnp.concatenate(conds, axis=-2)
+        x = _project(pp["_project"], pc_cfg.projection, x)
+        return layer_norm(x, pp["_norm"]["scale"], pp["_norm"]["bias"], eps)
+
+    return jnp.concatenate([prefix(False), prefix(True)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchKey:
+    """Requests sharing a key may run in one device batch."""
+
+    sampling: SamplingParams
+    cfg_scale: float
+    max_new_tokens: int
+
+
+@dataclasses.dataclass
+class TTSRequest:
+    cond_dict: dict  # make_cond_dict output (one text)
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    cfg_scale: float = 2.0
+    seed: int = 423
+    max_new_tokens: int = 86 * 30
+
+    @property
+    def key(self) -> BatchKey:
+        return BatchKey(self.sampling, float(self.cfg_scale), int(self.max_new_tokens))
+
+
+class PendingResult:
+    """Future for one submitted request."""
+
+    def __init__(self):
+        self._event = threading.Event()
+        self._wav: np.ndarray | None = None
+        self._error: BaseException | None = None
+
+    def _set(self, wav=None, error=None):
+        self._wav, self._error = wav, error
+        self._event.set()
+
+    def wait(self, timeout: float | None = None) -> np.ndarray:
+        """Block until done; returns the waveform ``[1, samples]`` float32
+        at 44.1 kHz (loudness-normalized, trimmed, faded)."""
+        if not self._event.wait(timeout):
+            raise TimeoutError("synthesis did not complete in time")
+        if self._error is not None:
+            raise self._error
+        return self._wav
+
+
+class ContinuousBatcher:
+    """Background scheduler merging requests into bucketed device batches."""
+
+    def __init__(
+        self,
+        model,
+        max_batch: int = 8,
+        max_wait_ms: float = 30.0,
+        cond_pad_multiple: int = 32,
+        batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    ):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.cond_pad_multiple = cond_pad_multiple
+        self.batch_buckets = tuple(sorted(b for b in batch_buckets if b <= max_batch)) or (max_batch,)
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "completed": 0,
+            "failed": 0,
+            "batches": 0,
+            "max_batch_seen": 0,
+            "audio_seconds": 0.0,
+            "generate_seconds": 0.0,
+        }
+        self._thread = threading.Thread(target=self._run, name="tts-batcher", daemon=True)
+        self._thread.start()
+
+    # -- public api --------------------------------------------------------
+    def submit(self, request: TTSRequest) -> PendingResult:
+        pending = PendingResult()
+        with self._stats_lock:
+            self.stats["requests"] += 1
+        self._q.put((request, pending))
+        return pending
+
+    def synthesize(self, request: TTSRequest, timeout: float | None = None) -> np.ndarray:
+        return self.submit(request).wait(timeout)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def snapshot(self) -> dict:
+        with self._stats_lock:
+            s = dict(self.stats)
+        s["queue_depth"] = self._q.qsize()
+        return s
+
+    # -- scheduler loop ------------------------------------------------------
+    def _run(self):
+        holdback: list = []  # key-mismatched items awaiting the next window
+        while not self._stop.is_set():
+            if holdback:
+                first, first_pending = holdback.pop(0)
+            else:
+                try:
+                    first, first_pending = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            batch = [(first, first_pending)]
+            key = first.key
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            while len(batch) < self.max_batch:
+                # drain compatible holdbacks first
+                taken = [i for i, (r, _) in enumerate(holdback) if r.key == key]
+                for i in reversed(taken):
+                    if len(batch) < self.max_batch:
+                        batch.append(holdback.pop(i))
+                remain = deadline - time.monotonic()
+                if remain <= 0 or len(batch) >= self.max_batch:
+                    break
+                try:
+                    item = self._q.get(timeout=remain)
+                except queue.Empty:
+                    break
+                if item[0].key == key:
+                    batch.append(item)
+                else:
+                    holdback.append(item)
+            self._process(batch, key)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if b >= n:
+                return b
+        return self.batch_buckets[-1]
+
+    def _process(self, batch: list, key: BatchKey):
+        try:
+            B = len(batch)
+            Bp = self._bucket(B)
+            cond_dicts = [r.cond_dict for r, _ in batch]
+            cond_dicts += [cond_dicts[-1]] * (Bp - B)  # pad rows, dropped below
+            prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
+            t0 = time.monotonic()
+            codes = self.model.generate(
+                prefix,
+                batch_size=Bp,
+                max_new_tokens=key.max_new_tokens,
+                cfg_scale=key.cfg_scale,
+                sampling_params=key.sampling,
+                seed=batch[0][0].seed,  # one PRNG stream per device batch
+                progress_bar=False,
+            )
+            gen_s = time.monotonic() - t0
+            audio_s = 0.0
+            for (_, pending), c in zip(batch, codes[:B]):
+                wavs = self.model.autoencoder.codes_to_wavs([c])
+                wav = wavs[0] if wavs else np.zeros((1, 512), np.float32)
+                audio_s += wav.shape[-1] / 44100.0
+                pending._set(wav=wav)
+            with self._stats_lock:
+                self.stats["completed"] += B
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], B)
+                self.stats["audio_seconds"] += audio_s
+                self.stats["generate_seconds"] += gen_s
+        except BaseException as e:  # noqa: BLE001 — report to all waiters
+            for _, pending in batch:
+                pending._set(error=e)
+            with self._stats_lock:
+                self.stats["failed"] += len(batch)

@@ -1,0 +1,251 @@
+"""REST TTS server with continuous batching (stdlib-only).
+
+The reference ships no serving layer (SURVEY.md §1: "no REST API"); this is
+the production front-end for the TPU framework.  Endpoints:
+
+- ``POST /v1/tts``          JSON in, ``audio/wav`` out (batched transparently)
+- ``POST /v1/tts/stream``   JSON in, chunked 16-bit PCM out while decoding
+- ``POST /v1/speakers``     reference clip (wav body) in, ``speaker_id`` out
+- ``GET  /v1/health``       liveness + model name
+- ``GET  /v1/stats``        batcher counters (batches, audio-s, gen-s, queue)
+
+JSON request fields for /v1/tts and /v1/tts/stream (all optional but text):
+``text, language, speaker_id, emotion[8], fmax, pitch_std, speaking_rate,
+vqscore_8[8], ctc_loss, dnsmos_ovrl, speaker_noised, unconditional_keys[],
+cfg_scale, seed, max_seconds, sampling{temperature, top_p, top_k, min_p,
+linear, conf, quad, repetition_penalty, repetition_penalty_window}``.
+
+Run: ``python -m zonos_tpu.serving [--port 8600] [--model ...]``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from zonos_tpu.conditioning import make_cond_dict
+from zonos_tpu.ops.sampling import SamplingParams
+from zonos_tpu.serving.batching import ContinuousBatcher, TTSRequest
+
+MAX_FRAMES = 86 * 30  # model hard cap: 30 s of audio (zonos/model.py:229)
+
+
+def wav_bytes(wav: np.ndarray, sr: int = 44100) -> bytes:
+    """float waveform [.., samples] -> 16-bit PCM WAV container bytes."""
+    pcm = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+class ServerState:
+    """Model + batcher + speaker store shared across handler threads."""
+
+    def __init__(self, model, model_name: str = "", **batcher_kwargs):
+        self.model = model
+        self.model_name = model_name
+        self.batcher = ContinuousBatcher(model, **batcher_kwargs)
+        self.speakers: dict[str, np.ndarray] = {}
+        self.device_lock = threading.Lock()  # streaming path vs batcher
+
+    def close(self):
+        self.batcher.close()
+
+    # -- request -> framework objects ------------------------------------
+    def cond_dict_from_json(self, body: dict) -> dict:
+        text = body.get("text")
+        if not text or not isinstance(text, str):
+            raise ValueError("'text' (non-empty string) is required")
+        speaker = None
+        sid = body.get("speaker_id")
+        if sid is not None:
+            speaker = self.speakers.get(sid)
+            if speaker is None:
+                raise ValueError(f"unknown speaker_id {sid!r}; POST /v1/speakers first")
+        kwargs = {}
+        for k in ("language", "emotion", "fmax", "pitch_std", "speaking_rate",
+                  "vqscore_8", "ctc_loss", "dnsmos_ovrl", "speaker_noised"):
+            if k in body:
+                kwargs[k] = body[k]
+        if "unconditional_keys" in body:
+            kwargs["unconditional_keys"] = frozenset(body["unconditional_keys"])
+        return make_cond_dict(text=text, speaker=speaker, **kwargs)
+
+    def request_from_json(self, body: dict) -> TTSRequest:
+        sampling = SamplingParams(**body.get("sampling", {}))
+        max_seconds = float(body.get("max_seconds", 30.0))
+        frames = max(9, min(MAX_FRAMES, int(max_seconds * 86)))
+        return TTSRequest(
+            cond_dict=self.cond_dict_from_json(body),
+            sampling=sampling,
+            cfg_scale=float(body.get("cfg_scale", 2.0)),
+            seed=int(body.get("seed", 423)),
+            max_new_tokens=frames,
+        )
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+        # -- helpers -----------------------------------------------------
+        def _json_body(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length) or b"{}")
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: dict):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _error(self, code: int, msg: str):
+            self._send_json(code, {"error": msg})
+
+        # -- routes ------------------------------------------------------
+        def do_GET(self):
+            if self.path == "/v1/health":
+                self._send_json(200, {"status": "ok", "model": state.model_name})
+            elif self.path == "/v1/stats":
+                self._send_json(200, state.batcher.snapshot())
+            else:
+                self._error(404, "not found")
+
+        def do_POST(self):
+            try:
+                if self.path == "/v1/tts":
+                    self._tts()
+                elif self.path == "/v1/tts/stream":
+                    self._tts_stream()
+                elif self.path == "/v1/speakers":
+                    self._register_speaker()
+                else:
+                    self._error(404, "not found")
+            except (ValueError, AssertionError, json.JSONDecodeError) as e:
+                self._error(400, str(e))
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                self._error(500, f"{type(e).__name__}: {e}")
+
+        def _tts(self):
+            req = state.request_from_json(self._json_body())
+            wav = state.batcher.synthesize(req, timeout=600)
+            self._send(200, wav_bytes(wav), "audio/wav")
+
+        def _tts_stream(self):
+            """Chunked-transfer raw 16-bit PCM (44.1 kHz mono), emitted while
+            the decode loop runs (``Zonos.stream_generate``); batch-1 path."""
+            body = self._json_body()
+            req = state.request_from_json(body)
+            with state.device_lock:
+                prefix = state.model.prepare_conditioning(req.cond_dict)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Sample-Rate", "44100")
+                self.send_header("X-Sample-Format", "s16le")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+                for piece in state.model.stream_generate(
+                    prefix,
+                    max_new_tokens=req.max_new_tokens,
+                    cfg_scale=req.cfg_scale,
+                    sampling_params=req.sampling,
+                    seed=req.seed,
+                ):
+                    pcm = np.clip(np.asarray(piece, np.float32).reshape(-1), -1, 1)
+                    chunk((pcm * 32767.0).astype("<i2").tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+
+        def _register_speaker(self):
+            """Body: WAV bytes (Content-Type audio/wav).  Returns a content-
+            addressed speaker_id for later /v1/tts calls (embedding computed
+            once — the voice-DB caching semantics of zonos/speaker_utils.py)."""
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            if not raw:
+                raise ValueError("empty body; send a WAV file")
+            sid = hashlib.sha256(raw).hexdigest()[:16]
+            if sid not in state.speakers:
+                with wave.open(io.BytesIO(raw), "rb") as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    ch = w.getnchannels()
+                    width = w.getsampwidth()
+                    frames = w.readframes(n)
+                if width != 2:
+                    raise ValueError("only 16-bit PCM WAV is supported")
+                pcm = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
+                pcm = pcm.reshape(-1, ch).mean(axis=1)[None, :]
+                with state.device_lock:
+                    emb = state.model.make_speaker_embedding(pcm, sr)
+                state.speakers[sid] = emb
+            self._send_json(200, {"speaker_id": sid})
+
+    return Handler
+
+
+def serve(state: ServerState, host: str = "0.0.0.0", port: int = 8600) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    thread = threading.Thread(target=httpd.serve_forever, name="tts-http", daemon=True)
+    thread.start()
+    return httpd
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from zonos_tpu.apps.common import load_model
+
+    ap = argparse.ArgumentParser(description="zonos-tpu TTS server")
+    ap.add_argument("--model", default="Zyphra/Zonos-v0.1-transformer")
+    ap.add_argument("--backbone", default=None, choices=[None, "transformer", "hybrid"])
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8600)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    ap.add_argument("--int8", action="store_true", help="quantize weights for serving")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+    if args.backbone is None:
+        args.backbone = "hybrid" if "hybrid" in args.model else "transformer"
+
+    model = load_model(args)
+    if args.int8:
+        model.quantize_int8()
+    state = ServerState(model, model_name=args.model,
+                        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    print(f"serving on http://{args.host}:{args.port}  (POST /v1/tts)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.close()
+
+
+if __name__ == "__main__":
+    main()
