@@ -171,3 +171,38 @@ def test_hybrid_safetensors_conversion_round_trip(tmp_path):
     prefix = jnp.zeros((2, 4, d), jnp.bfloat16)
     out = model.generate(prefix, max_new_tokens=4, seed=0, progress_bar=False)
     assert out[0].shape[0] == 9
+
+
+def test_sharded_checkpoint_load(tmp_path):
+    """mesh= places every converted tensor under its serving sharding, and
+    the values match an unsharded load."""
+    import pytest
+    from safetensors.numpy import save_file
+
+    from zonos_tpu.parallel.mesh import make_mesh
+    from zonos_tpu.utils.checkpoint import load_zonos_checkpoint
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    cfg = _tiny_cfg()
+    sd = _fake_reference_state_dict(cfg)
+    path = str(tmp_path / "model.safetensors")
+    save_file(sd, path)
+
+    mesh = make_mesh(1, 2, jax.devices()[:2])
+    sharded = load_zonos_checkpoint(cfg, path, mesh=mesh)
+    plain = load_zonos_checkpoint(cfg, path)
+
+    # TP weights actually sharded over "model"
+    wqkv = sharded["backbone"]["layers"]["wqkv"]
+    assert "model" in wqkv.sharding.spec
+    # one device holds only half the columns of a column-parallel weight
+    shard = wqkv.addressable_shards[0]
+    assert shard.data.shape[-1] == wqkv.shape[-1] // 2
+
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        sharded, plain,
+    )
+    assert all(jax.tree.leaves(same))

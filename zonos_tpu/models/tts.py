@@ -389,22 +389,27 @@ class Zonos:
         return self
 
     @classmethod
-    def from_local(cls, config_path: str, model_path: str | None = None) -> "Zonos":
+    def from_local(cls, config_path: str, model_path: str | None = None, mesh=None) -> "Zonos":
+        """Load from reference-format files.  With ``mesh``, weights are
+        placed straight under their serving shardings during conversion
+        (no full on-device replica — see utils/checkpoint.py)."""
         from zonos_tpu.utils.checkpoint import load_zonos_checkpoint
 
         cfg = ZonosConfig.from_json(config_path)
         model = cls(cfg)
         if model_path is not None:
-            model.params = load_zonos_checkpoint(cfg, model_path, model.params)
+            model.params = load_zonos_checkpoint(cfg, model_path, model.params, mesh=mesh)
+        elif mesh is not None:
+            return model.shard(mesh)
         return model
 
     @classmethod
-    def from_pretrained(cls, repo_id: str, revision: str | None = None) -> "Zonos":
+    def from_pretrained(cls, repo_id: str, revision: str | None = None, mesh=None) -> "Zonos":
         from zonos_tpu.utils.hub import hub_download
 
         config_path = hub_download(repo_id=repo_id, filename="config.json", revision=revision)
         model_path = hub_download(repo_id=repo_id, filename="model.safetensors", revision=revision)
-        return cls.from_local(config_path, model_path)
+        return cls.from_local(config_path, model_path, mesh=mesh)
 
     # -- subsystems ------------------------------------------------------
     @property

@@ -113,8 +113,17 @@ def convert_prefix_conditioner(sd: dict, cfg: ZonosConfig) -> dict:
     return params
 
 
-def load_zonos_checkpoint(cfg: ZonosConfig, path: str, init_params: dict | None = None) -> dict:
-    """Convert a reference-format checkpoint into the runtime pytree (bf16)."""
+def load_zonos_checkpoint(
+    cfg: ZonosConfig, path: str, init_params: dict | None = None, mesh=None
+) -> dict:
+    """Convert a reference-format checkpoint into the runtime pytree (bf16).
+
+    With ``mesh``, every tensor is placed directly under its serving
+    ``NamedSharding`` (parallel/sharding.py) as it is converted — each
+    process reads the file and contributes its addressable shards, so no
+    device ever holds a full replica of a tensor-parallel weight (the
+    sharded-loading requirement of SURVEY.md §5 "Checkpoint / resume")."""
+    import jax
     import jax.numpy as jnp
 
     sd = load_safetensors_numpy(path)
@@ -130,10 +139,20 @@ def load_zonos_checkpoint(cfg: ZonosConfig, path: str, init_params: dict | None 
     }
     params.update(convert_embeddings_heads(sd, cfg))
 
-    import jax
+    if mesh is None:
 
-    def cast(x):
-        x = np.asarray(x)
-        return jnp.asarray(x, jnp.bfloat16)
+        def cast(x):
+            return jnp.asarray(np.asarray(x), jnp.bfloat16)
 
-    return jax.tree.map(cast, params)
+        return jax.tree.map(cast, params)
+
+    from jax.sharding import NamedSharding
+
+    from zonos_tpu.parallel.sharding import zonos_param_specs
+
+    specs = zonos_param_specs(params)
+
+    def place(x, spec):
+        return jax.device_put(jnp.asarray(np.asarray(x), jnp.bfloat16), NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs)
