@@ -80,3 +80,41 @@ def test_gqa_head_sharing():
     B, S_max = 1, 4
     cache = KVCache.create(CFG, B, S_max)
     assert cache.k.shape == (CFG.n_layer, B, 2, S_max, CFG.d_model // 4)
+
+
+def test_decode_attention_split_matches_update_then_attend():
+    """Split attention (cache read-only + held-out current row) is numerically
+    identical to writing the row and attending with length=pos+1."""
+    from zonos_tpu.ops.attention import (
+        decode_attention,
+        decode_attention_split,
+        update_kv_cache,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, Hkv, D, S_max = 2, 4, 2, 16, 12
+    pos = 7
+    q = jnp.asarray(rng.normal(size=(B, 1, H, D)), jnp.float32)
+    k_cache = jnp.asarray(rng.normal(size=(B, Hkv, S_max, D)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(B, Hkv, S_max, D)), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
+
+    got = decode_attention_split(q, k_cache, v_cache, k_new, v_new, jnp.int32(pos))
+    k_upd, v_upd = update_kv_cache(k_cache, v_cache, k_new, v_new, jnp.int32(pos))
+    want = decode_attention(q, k_upd, v_upd, length=jnp.int32(pos + 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_writes_cache_rows():
+    """After prefill, the cache holds exactly the prompt's k/v rows and
+    decode continues consistently from them (covers the post-scan batched
+    cache write)."""
+    params = init_transformer_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    B, S, S_max = 2, 6, 16
+    x = jax.random.normal(jax.random.key(1), (B, S, CFG.d_model), jnp.float32)
+    cache = KVCache.create(CFG, B, S_max, jnp.float32)
+    _, cache2 = transformer_prefill(CFG, params, x, cache)
+    k = np.asarray(cache2.k)
+    assert (k[:, :, :, S:, :] == 0).all(), "rows beyond the prompt must stay zero"
+    assert np.abs(k[:, :, :, :S, :]).sum() > 0, "prompt rows must be written"

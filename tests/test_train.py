@@ -1,0 +1,114 @@
+"""Trainer tests: loss descent, grad-accumulation equivalence, remat
+equivalence, hybrid-backbone training, schedule/clipping plumbing."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zonos_tpu.config import HYBRID_CONFIG_DICT, TRANSFORMER_CONFIG_DICT, ZonosConfig
+from zonos_tpu.models.tts import Zonos
+from zonos_tpu.parallel.train import make_optimizer, make_train_step, multicodebook_loss
+
+
+def _tiny(dict_base, **backbone):
+    d = copy.deepcopy(dict_base)
+    d["backbone"].update(backbone)
+    return ZonosConfig.from_dict(d)
+
+
+TRANS = _tiny(
+    TRANSFORMER_CONFIG_DICT,
+    d_model=64, n_layer=2, attn_mlp_d_intermediate=128,
+    attn_cfg={"num_heads": 4, "num_heads_kv": 2},
+)
+HYB = _tiny(
+    HYBRID_CONFIG_DICT,
+    d_model=64, n_layer=4, attn_layer_idx=[1, 3], attn_mlp_d_intermediate=128,
+    ssm_cfg={"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+    attn_cfg={"num_heads": 4, "num_heads_kv": 2, "head_dim": 16, "rotary_emb_dim": 8},
+)
+
+
+def _batch(cfg, B=4, Lc=3, T=12, seed=0):
+    rng = np.random.default_rng(seed)
+    cond = jnp.asarray(rng.normal(size=(B, Lc, cfg.backbone.d_model)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, 1024, size=(B, cfg.num_codebooks, T)), jnp.int32)
+    return cond, codes
+
+
+def _f32_params(cfg):
+    p = Zonos(cfg, seed=0).params
+    return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), p)
+
+
+def test_loss_decreases_transformer():
+    params = _f32_params(TRANS)
+    cond, codes = _batch(TRANS)
+    opt = make_optimizer(lr=1e-3)
+    step = jax.jit(make_train_step(TRANS, opt))
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, cond, codes)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_grad_accumulation_matches_full_batch():
+    params = _f32_params(TRANS)
+    cond, codes = _batch(TRANS, B=4)
+    opt = make_optimizer(lr=1e-3, grad_clip=None)
+    s1 = jax.jit(make_train_step(TRANS, opt, accum_steps=1))
+    s2 = jax.jit(make_train_step(TRANS, opt, accum_steps=2))
+    p1, _, l1 = s1(params, opt.init(params), cond, codes)
+    p2, _, l2 = s2(params, opt.init(params), cond, codes)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_remat_matches_plain():
+    params = _f32_params(TRANS)
+    cond, codes = _batch(TRANS)
+    l_plain, g_plain = jax.value_and_grad(
+        lambda p: multicodebook_loss(TRANS, p, cond, codes, remat=False)
+    )(params)
+    l_remat, g_remat = jax.value_and_grad(
+        lambda p: multicodebook_loss(TRANS, p, cond, codes, remat=True)
+    )(params)
+    np.testing.assert_allclose(float(l_plain), float(l_remat), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_loss_decreases_hybrid():
+    params = _f32_params(HYB)
+    cond, codes = _batch(HYB)
+    opt = make_optimizer(lr=1e-3)
+    step = jax.jit(make_train_step(HYB, opt))
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, cond, codes)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_warmup_cosine_schedule_and_clip():
+    params = _f32_params(TRANS)
+    cond, codes = _batch(TRANS)
+    opt = make_optimizer(lr=1e-3, warmup_steps=10, total_steps=100, grad_clip=0.5)
+    step = jax.jit(make_train_step(TRANS, opt))
+    opt_state = opt.init(params)
+    p1, opt_state, _ = step(params, opt_state, cond, codes)
+    # warmup step 0 has lr 0 -> adamw still moves by ~0; just assert finite and
+    # that a later step moves the params
+    p2, opt_state, _ = step(p1, opt_state, cond, codes)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+    )
+    assert moved

@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from zonos_tpu.config import BackboneConfig
-from zonos_tpu.ops.attention import decode_attention, prefill_attention, update_kv_cache
+from zonos_tpu.ops.attention import (
+    decode_attention,
+    decode_attention_split,
+    fresh_prefill_attention,
+    prefill_attention,
+    update_kv_cache,
+    use_pallas,
+)
 from zonos_tpu.ops.norms import layer_norm
 from zonos_tpu.ops.rope import apply_rope, rope_table
 
@@ -182,8 +189,17 @@ def _use_fused_tail(cfg: BackboneConfig, lp: dict, S: int) -> bool:
     return True
 
 
-def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, attend):
-    """Shared attention block body: norm -> qkv -> rope -> cache -> attend -> out."""
+def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, prefill: bool):
+    """Shared attention block body: norm -> qkv -> rope -> attend -> out.
+
+    The per-layer cache is READ-ONLY here; the new k/v rows are returned to
+    the caller, which writes all layers into the carried cache with one
+    batched update after the scan.  Mutating the scan-sliced cache in place
+    is impossible for XLA (immutable operand), so the old
+    update-inside-the-layer form cost two full cache copies per decode step
+    — measured as ~8 of 9 ms/token at batch 64 on v5e."""
+    import os
+
     B, S, d = x.shape
     H, Hkv, hd = cfg.num_heads, cfg.num_heads_kv, cfg.head_dim
     h = layer_norm(x, lp["norm1_scale"], lp["norm1_bias"], cfg.norm_epsilon)
@@ -192,8 +208,17 @@ def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, a
     q = apply_rope(q.reshape(B, S, H, hd), cos, sin)
     k = apply_rope(k.reshape(B, S, Hkv, hd), cos, sin)
     v = v.reshape(B, S, Hkv, hd)
-    k_cache, v_cache = update_kv_cache(k_cache, v_cache, k, v, offset)
-    y = attend(q, k_cache, v_cache)
+    if prefill:
+        y = fresh_prefill_attention(q, k, v)
+    elif os.environ.get("ZONOS_TPU_FLASH") == "1" or use_pallas():
+        # opt-in Pallas kernels consume an updated cache; pay the per-layer
+        # copy on this experimental path only
+        k_upd, v_upd = update_kv_cache(k_cache, v_cache, k, v, offset)
+        y = decode_attention(q, k_upd, v_upd, length=offset + 1)
+    else:
+        y = decode_attention_split(q, k_cache, v_cache, k, v, offset)
+    k_rows = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)  # [B, Hkv, S, hd]
+    v_rows = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)
     if _use_fused_tail(cfg, lp, S):
         from zonos_tpu.ops.pallas_decode import fused_layer_tail_pallas
 
@@ -204,13 +229,13 @@ def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, a
             lp["w1"]["q"], lp["w1"]["s"], lp["w2"]["q"], lp["w2"]["s"],
             eps=cfg.norm_epsilon,
         )[:, None]
-        return x, k_cache, v_cache
+        return x, k_rows, v_rows
     y = matmul_w(y.reshape(B, S, H * hd), lp["wo"])
     x = x + y
     h = layer_norm(x, lp["norm2_scale"], lp["norm2_bias"], cfg.norm_epsilon)
     u, gate = jnp.split(matmul_w(h, lp["w1"]), 2, axis=-1)
     x = x + matmul_w(u * jax.nn.silu(gate), lp["w2"])
-    return x, k_cache, v_cache
+    return x, k_rows, v_rows
 
 
 def _scan_unroll() -> int:
@@ -229,24 +254,40 @@ def _scan_unroll() -> int:
         return 1
 
 
-def _run_layers(cfg: BackboneConfig, params: dict, x, cache: KVCache, cos, sin, offset, attend):
+def _run_layers(cfg: BackboneConfig, params: dict, x, cache: KVCache, cos, sin, offset, prefill):
+    """Layer stack as one scanned body; the cache is read-only inside the
+    scan (see :func:`_mix`) and all layers' new k/v rows are written with a
+    single batched ``dynamic_update_slice`` on the carried cache — in-place
+    under XLA's while-loop buffer aliasing, no full-cache copies."""
+
     def body(carry, layer_in):
         lp, k_c, v_c = layer_in
-        y, k_c, v_c = _mix(cfg, lp, carry, cos, sin, k_c, v_c, offset, attend)
-        return y, (k_c, v_c)
+        y, k_rows, v_rows = _mix(cfg, lp, carry, cos, sin, k_c, v_c, offset, prefill)
+        return y, (k_rows, v_rows)
 
-    x, (k_new, v_new) = jax.lax.scan(
+    x, (k_rows, v_rows) = jax.lax.scan(
         body, x, (params["layers"], cache.k, cache.v), unroll=_scan_unroll()
     )
+    zero = jnp.zeros((), jnp.int32)
+    idx = (zero, zero, zero, jnp.asarray(offset, jnp.int32), zero)
+    k = jax.lax.dynamic_update_slice(cache.k, k_rows, idx)
+    v = jax.lax.dynamic_update_slice(cache.v, v_rows, idx)
     x = layer_norm(x, params["normf_scale"], params["normf_bias"], cfg.norm_epsilon)
-    return x, KVCache(k_new, v_new)
+    return x, KVCache(k, v)
 
 
-def transformer_forward(cfg: BackboneConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def transformer_forward(
+    cfg: BackboneConfig, params: dict, x: jnp.ndarray, remat: bool = False
+) -> jnp.ndarray:
     """Cache-free full-sequence forward (training / scoring path).
 
     Same math as :func:`transformer_prefill` without materializing a KV cache
     — k/v come straight from the projections.
+
+    ``remat=True`` rematerializes each layer on the backward pass
+    (``jax.checkpoint`` around the scan body): activation memory drops from
+    O(L·S·d·k) to O(S·d·k + L·weights) at ~33% extra forward FLOPs — the
+    standard TPU trade when HBM, not MXU, is the training constraint.
     """
     B, S, _ = x.shape
     cos_t, sin_t = rope_table(cfg.head_dim, base=cfg.rope_base)
@@ -266,7 +307,7 @@ def transformer_forward(cfg: BackboneConfig, params: dict, x: jnp.ndarray) -> jn
         u, gate = jnp.split(matmul_w(h, lp["w1"]), 2, axis=-1)
         return x2 + matmul_w(u * jax.nn.silu(gate), lp["w2"]), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, params["layers"])
     return layer_norm(x, params["normf_scale"], params["normf_bias"], cfg.norm_epsilon)
 
 
@@ -280,11 +321,7 @@ def transformer_prefill(
     S = x.shape[1]
     cos_t, sin_t = rope_table(cfg.head_dim, base=cfg.rope_base)
     cos, sin = cos_t[:S], sin_t[:S]
-
-    def attend(q, k_c, v_c):
-        return prefill_attention(q, k_c, v_c, seq_len=S)
-
-    return _run_layers(cfg, params, x, cache, cos, sin, jnp.int32(0), attend)
+    return _run_layers(cfg, params, x, cache, cos, sin, jnp.int32(0), prefill=True)
 
 
 def transformer_decode_step(
@@ -294,8 +331,4 @@ def transformer_decode_step(
     cos_t, sin_t = rope_table(cfg.head_dim, base=cfg.rope_base)
     cos = jax.lax.dynamic_slice_in_dim(cos_t, pos, 1, 0)
     sin = jax.lax.dynamic_slice_in_dim(sin_t, pos, 1, 0)
-
-    def attend(q, k_c, v_c):
-        return decode_attention(q, k_c, v_c, length=pos + 1)
-
-    return _run_layers(cfg, params, x, cache, cos, sin, pos, attend)
+    return _run_layers(cfg, params, x, cache, cos, sin, pos, prefill=False)

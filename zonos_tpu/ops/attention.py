@@ -98,6 +98,65 @@ def prefill_attention(
     return _gqa_output(weights, v_live, q.dtype)
 
 
+def fresh_prefill_attention(
+    q: jnp.ndarray,  # [B, S, H, D] (RoPE already applied)
+    k: jnp.ndarray,  # [B, S, H_kv, D] — this prompt's keys, no cache involved
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Causal attention among the prompt tokens themselves.
+
+    Prefill always starts from position 0 (zonos/model.py:298-301 runs the
+    whole prefix once), so the cache holds nothing the prompt must attend to
+    — reading it back would be wasted HBM traffic.  The caller writes the
+    returned k/v rows into the cache *after* the layer stack (one batched
+    in-place update) instead of round-tripping the cache through the scan."""
+    return prefill_attention(
+        q, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), seq_len=q.shape[1]
+    )
+
+
+def decode_attention_split(
+    q: jnp.ndarray,  # [B, 1, H, D] (RoPE already applied)
+    k_cache: jnp.ndarray,  # [B, H_kv, S_max, D] — rows [0, pos) valid; pos NOT yet written
+    v_cache: jnp.ndarray,
+    k_new: jnp.ndarray,  # [B, 1, H_kv, D] — this step's key/value
+    v_new: jnp.ndarray,
+    pos: jnp.ndarray,  # scalar int32: #valid cache rows (current token excluded)
+) -> jnp.ndarray:
+    """One query step against cache + the current token's k/v held out.
+
+    Numerically identical to writing (k_new, v_new) at ``pos`` and calling
+    :func:`decode_attention` with ``length=pos+1`` — but the cache stays
+    read-only inside the layer scan.  Why that matters: updating a scan-
+    carried cache slice forces XLA to copy the whole per-layer cache (the
+    sliced operand is immutable) and then copy the stacked result back into
+    the while-loop carry.  Profiled on v5e at batch 64, those copies were
+    ~8 of the 9 ms/token.  With the split form the scan emits only the new
+    rows ([L, B, H_kv, 1, D]) and the caller does ONE batched
+    dynamic-update-slice on the carried cache, which XLA performs in place.
+    """
+    D = q.shape[-1]
+    B, _, H, _ = q.shape
+    H_kv = k_cache.shape[1]
+    G = H // H_kv
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    scores = _gqa_scores(q, k_cache) * scale  # [B,H_kv,G,1,S_max] fp32
+    S_max = k_cache.shape[2]
+    valid = jnp.arange(S_max) < pos
+    scores = jnp.where(valid[None, None, None, None], scores, NEG_INF)
+    # current token: q · k_new -> [B,H_kv,G,1,1]
+    qh = jnp.swapaxes(q, 1, 2).reshape(B, H_kv, G, 1, D)
+    k_n = jnp.swapaxes(k_new, 1, 2)  # [B, H_kv, 1, D]
+    s_new = jnp.einsum("bhgqd,bhkd->bhgqk", qh, k_n, preferred_element_type=jnp.float32) * scale
+    all_scores = jnp.concatenate([scores, s_new], axis=-1)
+    weights = jax.nn.softmax(all_scores, axis=-1)
+    w_cache, w_new = weights[..., :S_max], weights[..., S_max:]
+    out = _gqa_output(w_cache, v_cache, q.dtype)
+    v_n = jnp.swapaxes(v_new, 1, 2)  # [B, H_kv, 1, D]
+    out_new = _gqa_output(w_new, v_n, q.dtype)
+    return out + out_new
+
+
 def decode_attention(
     q: jnp.ndarray,  # [B, 1, H, D] (RoPE already applied)
     k_cache: jnp.ndarray,  # [B, H_kv, S_max, D]

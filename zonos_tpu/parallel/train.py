@@ -22,11 +22,24 @@ from zonos_tpu.models.tts import embed_codes
 from zonos_tpu.ops.delay import apply_delay_pattern
 
 
-def multicodebook_loss(cfg: ZonosConfig, params: dict, cond: jnp.ndarray, codes: jnp.ndarray):
+def _backbone_forward(cfg: ZonosConfig, params: dict, x: jnp.ndarray, remat: bool) -> jnp.ndarray:
+    if cfg.backbone.is_transformer:
+        return transformer_forward(cfg.backbone, params["backbone"], x, remat=remat)
+    from zonos_tpu.models.hybrid import create_hybrid_cache, hybrid_prefill
+
+    cache = create_hybrid_cache(cfg.backbone, x.shape[0], x.shape[1], x.dtype)
+    hidden, _ = hybrid_prefill(cfg.backbone, params["backbone"], x, cache)
+    return hidden
+
+
+def multicodebook_loss(
+    cfg: ZonosConfig, params: dict, cond: jnp.ndarray, codes: jnp.ndarray, remat: bool = False
+):
     """cond [B, Lc, d]; codes [B, K, T] raw (no delay). Returns scalar loss.
 
     Applies the delay pattern, teacher-forces positions, and ignores
-    mask-token targets (structural padding of the staircase).
+    mask-token targets (structural padding of the staircase).  Works for
+    both backbones; ``remat`` rematerializes transformer layers backward.
     """
     K, Vp = cfg.num_codebooks, cfg.padded_vocab_size
     mask_id = cfg.masked_token_id
@@ -36,7 +49,7 @@ def multicodebook_loss(cfg: ZonosConfig, params: dict, cond: jnp.ndarray, codes:
     targets = delayed[..., 1:]  # predict next delayed frame
 
     x = jnp.concatenate([cond, embed_codes(params, inputs).astype(cond.dtype)], axis=1)
-    hidden = transformer_forward(cfg.backbone, params["backbone"], x)
+    hidden = _backbone_forward(cfg, params, x, remat)
     Lc = cond.shape[1]
     h_audio = hidden[:, Lc - 1 : Lc - 1 + targets.shape[-1]]  # [B, T-1, d]
     logits = (h_audio @ params["heads"]).reshape(*h_audio.shape[:2], K, Vp)
@@ -50,13 +63,65 @@ def multicodebook_loss(cfg: ZonosConfig, params: dict, cond: jnp.ndarray, codes:
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def make_optimizer(lr: float = 3e-4, weight_decay: float = 0.01):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 3e-4,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 0,
+    total_steps: int | None = None,
+    grad_clip: float | None = 1.0,
+):
+    """Global-norm clipping + AdamW; linear warmup into cosine decay when
+    ``total_steps`` is given, constant LR otherwise."""
+    if total_steps is not None:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1),
+        )
+    elif warmup_steps:
+        schedule = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        schedule = lr
+    parts = []
+    if grad_clip is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(optax.adamw(schedule, weight_decay=weight_decay))
+    return optax.chain(*parts)
 
 
-def make_train_step(cfg: ZonosConfig, optimizer):
+def make_train_step(cfg: ZonosConfig, optimizer, accum_steps: int = 1, remat: bool = False):
+    """One jittable optimizer step.
+
+    ``accum_steps > 1`` splits the batch into that many micro-batches and
+    accumulates gradients with a ``lax.scan`` — activations exist for one
+    micro-batch at a time, so peak HBM scales with B/accum_steps (combine
+    with ``remat=True`` for the full memory ladder).  The batch dimension
+    must divide evenly."""
+    loss_fn = partial(multicodebook_loss, cfg, remat=remat)
+
     def train_step(params, opt_state, cond, codes):
-        loss, grads = jax.value_and_grad(partial(multicodebook_loss, cfg))(params, cond, codes)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, cond, codes)
+        else:
+            B = codes.shape[0]
+            if B % accum_steps:
+                raise ValueError(f"batch {B} not divisible by accum_steps {accum_steps}")
+            mb = B // accum_steps
+            cond_mb = cond.reshape(accum_steps, mb, *cond.shape[1:])
+            codes_mb = codes.reshape(accum_steps, mb, *codes.shape[1:])
+
+            def micro(carry, xs):
+                loss_acc, grads_acc = carry
+                c, t = xs
+                loss, grads = jax.value_and_grad(loss_fn)(params, c, t)
+                return (
+                    loss_acc + loss / accum_steps,
+                    jax.tree.map(lambda a, g: a + g / accum_steps, grads_acc, grads),
+                ), None
+
+            zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+            (loss, grads), _ = jax.lax.scan(micro, (jnp.float32(0.0), zeros), (cond_mb, codes_mb))
+            grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
