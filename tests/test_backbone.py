@@ -118,3 +118,41 @@ def test_prefill_writes_cache_rows():
     k = np.asarray(cache2.k)
     assert (k[:, :, :, S:, :] == 0).all(), "rows beyond the prompt must stay zero"
     assert np.abs(k[:, :, :, :S, :]).sum() > 0, "prompt rows must be written"
+
+
+def test_int8_kv_cache_close(monkeypatch):
+    """ZONOS_TPU_KV_INT8=1: int8 cache rows with per-row scales must track
+    the bf16 cache closely (lossy serving mode; error ~0.4%/row)."""
+    from zonos_tpu.models.backbone import transformer_decode_step, transformer_prefill
+
+    params = init_transformer_params(jax.random.key(0), CFG, dtype=jnp.bfloat16)
+    B, S, S_max = 2, 6, 16
+    x = jax.random.normal(jax.random.key(1), (B, S, CFG.d_model), jnp.bfloat16)
+    steps = [jax.random.normal(jax.random.key(2 + t), (B, 1, CFG.d_model), jnp.bfloat16)
+             for t in range(4)]
+
+    def run():
+        cache = KVCache.create(CFG, B, S_max)
+        h, cache = transformer_prefill(CFG, params, x, cache)
+        outs = [np.asarray(h, np.float32)]
+        for t, xt in enumerate(steps):
+            h, cache = transformer_decode_step(CFG, params, xt, cache, jnp.int32(S + t))
+            outs.append(np.asarray(h, np.float32))
+        return np.concatenate([o.reshape(B, -1) for o in outs], axis=1), cache
+
+    monkeypatch.setenv("ZONOS_TPU_KV_INT8", "0")
+    ref, cache_ref = run()
+    assert not cache_ref.quantized
+    monkeypatch.setenv("ZONOS_TPU_KV_INT8", "1")
+    got, cache_q = run()
+    assert cache_q.quantized and cache_q.k.dtype == jnp.int8
+    err = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6)
+    assert err < 0.05, f"int8 KV diverged: rel err {err:.4f}"
+
+
+def test_int8_kv_cache_grow(monkeypatch):
+    monkeypatch.setenv("ZONOS_TPU_KV_INT8", "1")
+    cache = KVCache.create(CFG, 2, 64)
+    grown = cache.grow(128)
+    assert grown.k.shape[3] == 128 and grown.k_scale.shape[3] == 128
+    assert grown.k.dtype == jnp.int8

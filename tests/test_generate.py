@@ -106,3 +106,30 @@ def test_eos_trimming_semantics(model, cond):
     prefix = model.prepare_conditioning(cond)
     out = model.generate(prefix, max_new_tokens=20, seed=11)
     assert (out[0] < 1024).all() and (out[0] >= 0).all()
+
+
+def test_cache_growth_matches_full_allocation():
+    """Greedy decode with bucketed cache growth is bit-identical to the
+    full-size cache (masked validity; -inf scores weigh exactly zero)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    model = Zonos(ZonosConfig.from_dict(d), seed=0)
+    prefix = jax.random.normal(jax.random.key(2), (2, 4, 64), jnp.bfloat16)
+    kw = dict(max_new_tokens=400, seed=11,
+              sampling_params=SamplingParams.greedy(), progress_bar=False)
+    ref = model.generate(prefix, cache_growth=False, **kw)
+    got = model.generate(prefix, cache_growth=True, **kw)
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)

@@ -146,3 +146,32 @@ def test_hybrid_generate_end_to_end():
                          sampling_params=SamplingParams.greedy())
     assert out[0].shape[0] == 9 and out[0].shape[1] <= 8
     assert ((out[0] >= 0) & (out[0] < 1024)).all()
+
+
+def test_bf16_ssm_state_stays_close(monkeypatch):
+    """ZONOS_TPU_SSM_BF16=1 halves decode-state HBM traffic; outputs must
+    stay distribution-close to the fp32-state run (contractive recurrence)."""
+    monkeypatch.setenv("ZONOS_TPU_SSM_BF16", "0")
+    cfg = _tiny_hybrid_cfg().backbone
+    params = init_hybrid_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    B_, S_max = 2, 64
+    x = jax.random.normal(jax.random.key(1), (B_, 1, cfg.d_model), jnp.bfloat16)
+
+    def run():
+        cache = create_hybrid_cache(cfg, B_, S_max)
+        outs = []
+        h = x
+        for t in range(32):
+            h_out, cache = hybrid_decode_step(cfg, params, h, cache, jnp.int32(t))
+            outs.append(np.asarray(h_out, np.float32))
+            h = h_out.astype(jnp.bfloat16)
+        return np.concatenate(outs, axis=1)
+
+    ref = run()
+    monkeypatch.setenv("ZONOS_TPU_SSM_BF16", "1")
+    got = run()
+    err = np.abs(got - ref).mean()
+    scale = np.abs(ref).mean() + 1e-6
+    # measured ~0.11 mean rel err on random weights after 32 steps x 48 layers
+    # of feedback -- a lossy serving mode (documented), not a parity mode
+    assert err / scale < 0.25, f"bf16 ssm state diverged: rel err {err/scale:.3f}"

@@ -133,15 +133,65 @@ def quantize_weight_int4(w: jnp.ndarray, group_size: int = 128) -> dict:
 
 
 class KVCache(NamedTuple):
-    """Stacked per-layer caches: k/v ``[L, B, H_kv, S_max, head_dim]``."""
+    """Stacked per-layer caches: k/v ``[L, B, H_kv, S_max, head_dim]``.
+
+    Optional int8 mode (``ZONOS_TPU_KV_INT8=1``): k/v stored int8 with
+    per-row (per token, per kv-head) fp32 scales ``[L, B, H_kv, S_max]``.
+    Decode reads the cache every step, so halving its bytes is a direct
+    HBM-bandwidth lever at large batch / long sequence; dequantization
+    folds into the attention einsums (scores × k_scale; weights × v_scale
+    before the value contraction) — the int8 rows are never materialized
+    as bf16.  Per-row symmetric quantization keeps the error ~0.4% — a
+    lossy serving mode, off by default."""
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
 
     @classmethod
     def create(cls, cfg: BackboneConfig, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
+        import os
+
         shape = (cfg.n_layer, batch, cfg.num_heads_kv, max_seqlen, cfg.head_dim)
+        if dtype == jnp.bfloat16 and os.environ.get("ZONOS_TPU_KV_INT8") == "1":
+            return cls(
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape[:-1], jnp.float32),
+                jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    def grow(self, new_len: int) -> "KVCache":
+        """Pad the sequence axis to ``new_len`` (cache-length bucketing).
+
+        Attention masks validity by position, and masked (-inf) scores give
+        exactly-zero weights, so growing is bit-transparent to the decode —
+        but every step's cache HBM read scales with the allocated length,
+        so starting small and growing beats allocating the 30-s maximum up
+        front (see docs/PERFORMANCE.md)."""
+        pad = new_len - self.k.shape[3]
+        if pad <= 0:
+            return self
+        widths = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
+        scales = (None, None)
+        if self.quantized:
+            swidths = widths[:-1]
+            scales = (jnp.pad(self.k_scale, swidths), jnp.pad(self.v_scale, swidths))
+        return KVCache(jnp.pad(self.k, widths), jnp.pad(self.v, widths), *scales)
+
+
+def quantize_kv_rows(rows: jnp.ndarray):
+    """[..., S, D] -> (int8 rows, fp32 per-row scales [..., S])."""
+    rf = rows.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(rf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(rf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def init_transformer_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) -> dict:
@@ -189,7 +239,8 @@ def _use_fused_tail(cfg: BackboneConfig, lp: dict, S: int) -> bool:
     return True
 
 
-def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, prefill: bool):
+def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, prefill: bool,
+         k_scale=None, v_scale=None):
     """Shared attention block body: norm -> qkv -> rope -> attend -> out.
 
     The per-layer cache is READ-ONLY here; the new k/v rows are returned to
@@ -210,15 +261,19 @@ def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, p
     v = v.reshape(B, S, Hkv, hd)
     if prefill:
         y = fresh_prefill_attention(q, k, v)
-    elif os.environ.get("ZONOS_TPU_FLASH") == "1" or use_pallas():
-        # opt-in Pallas kernels consume an updated cache; pay the per-layer
-        # copy on this experimental path only
+    elif k_scale is None and (os.environ.get("ZONOS_TPU_FLASH") == "1" or use_pallas()):
+        # opt-in Pallas kernels consume an updated bf16 cache; pay the
+        # per-layer copy on this experimental path only
         k_upd, v_upd = update_kv_cache(k_cache, v_cache, k, v, offset)
         y = decode_attention(q, k_upd, v_upd, length=offset + 1)
     else:
-        y = decode_attention_split(q, k_cache, v_cache, k, v, offset)
-    k_rows = jnp.swapaxes(k, 1, 2).astype(k_cache.dtype)  # [B, Hkv, S, hd]
-    v_rows = jnp.swapaxes(v, 1, 2).astype(v_cache.dtype)
+        y = decode_attention_split(q, k_cache, v_cache, k, v, offset,
+                                   k_scale=k_scale, v_scale=v_scale)
+    k_rows = jnp.swapaxes(k, 1, 2)  # [B, Hkv, S, hd]
+    v_rows = jnp.swapaxes(v, 1, 2)
+    if k_cache.dtype != jnp.int8:  # int8 rows are quantized once, post-scan
+        k_rows = k_rows.astype(k_cache.dtype)
+        v_rows = v_rows.astype(v_cache.dtype)
     if _use_fused_tail(cfg, lp, S):
         from zonos_tpu.ops.pallas_decode import fused_layer_tail_pallas
 
@@ -261,19 +316,30 @@ def _run_layers(cfg: BackboneConfig, params: dict, x, cache: KVCache, cos, sin, 
     under XLA's while-loop buffer aliasing, no full-cache copies."""
 
     def body(carry, layer_in):
-        lp, k_c, v_c = layer_in
-        y, k_rows, v_rows = _mix(cfg, lp, carry, cos, sin, k_c, v_c, offset, prefill)
+        lp, k_c, v_c, k_s, v_s = layer_in
+        y, k_rows, v_rows = _mix(cfg, lp, carry, cos, sin, k_c, v_c, offset, prefill,
+                                 k_scale=k_s, v_scale=v_s)
         return y, (k_rows, v_rows)
 
     x, (k_rows, v_rows) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v), unroll=_scan_unroll()
+        body, x,
+        (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale),
+        unroll=_scan_unroll(),
     )
     zero = jnp.zeros((), jnp.int32)
     idx = (zero, zero, zero, jnp.asarray(offset, jnp.int32), zero)
+    scales = (None, None)
+    if cache.quantized:
+        k_rows, k_row_scale = quantize_kv_rows(k_rows)
+        v_rows, v_row_scale = quantize_kv_rows(v_rows)
+        scales = (
+            jax.lax.dynamic_update_slice(cache.k_scale, k_row_scale, idx[:-1]),
+            jax.lax.dynamic_update_slice(cache.v_scale, v_row_scale, idx[:-1]),
+        )
     k = jax.lax.dynamic_update_slice(cache.k, k_rows, idx)
     v = jax.lax.dynamic_update_slice(cache.v, v_rows, idx)
     x = layer_norm(x, params["normf_scale"], params["normf_bias"], cfg.norm_epsilon)
-    return x, KVCache(k, v)
+    return x, KVCache(k, v, *scales)
 
 
 def transformer_forward(

@@ -105,9 +105,23 @@ def init_hybrid_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) 
     return p
 
 
+def _ssm_state_dtype():
+    """SSM decode-state dtype.  fp32 by default (the recurrence accumulates
+    over thousands of steps); ``ZONOS_TPU_SSM_BF16=1`` selects bf16 — at
+    large batch the [B, H, P, N] states are the dominant HBM traffic of
+    hybrid decode (5.9 GB at batch 64 on the flagship, read+written every
+    step), so halving them is a ~2x serving lever on the mamba layers.  The
+    decay dA<1 keeps the recurrence contractive, so bf16 rounding does not
+    compound; outputs stay distribution-close (tests/test_hybrid.py)."""
+    import os
+
+    return jnp.bfloat16 if os.environ.get("ZONOS_TPU_SSM_BF16") == "1" else jnp.float32
+
+
 def create_hybrid_cache(cfg: BackboneConfig, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
     d, d_inner, H, G, N, K, conv_dim = _dims(cfg)
     aH, aHkv, ahd, _ = _attn_dims(cfg)
+    ssm_dtype = _ssm_state_dtype() if dtype == jnp.bfloat16 else dtype
     cache = []
     for i in range(cfg.n_layer):
         if is_attn_layer(cfg, i):
@@ -117,10 +131,24 @@ def create_hybrid_cache(cfg: BackboneConfig, batch: int, max_seqlen: int, dtype=
             cache.append(
                 {
                     "conv": jnp.zeros((batch, K - 1, conv_dim), dtype),
-                    "ssm": jnp.zeros((batch, H, cfg.ssm_headdim, N), jnp.float32),
+                    "ssm": jnp.zeros((batch, H, cfg.ssm_headdim, N), ssm_dtype),
                 }
             )
     return tuple(cache)
+
+
+def grow_hybrid_cache(cache, new_len: int):
+    """Pad the attention layers' k/v sequence axis to ``new_len`` (mamba
+    conv/ssm states are length-independent) — see KVCache.grow."""
+    grown = []
+    for st in cache:
+        if "k" in st:
+            pad = new_len - st["k"].shape[2]
+            if pad > 0:
+                widths = [(0, 0), (0, 0), (0, pad), (0, 0)]
+                st = {"k": jnp.pad(st["k"], widths), "v": jnp.pad(st["v"], widths)}
+        grown.append(st)
+    return tuple(grown)
 
 
 # ---------------------------------------------------------------------------
@@ -162,11 +190,12 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + lp["dt_bias"])  # [B, S, H]
     A = -jnp.exp(lp["A_log"])  # [H]
 
+    ssm_in = None if state.get("ssm") is None else state["ssm"].astype(jnp.float32)
     if prefill:
-        y, ssm_state = ssd_chunked(xs, dt, A, Bm, Cm, lp["D"], init_state=state.get("ssm"))
+        y, ssm_state = ssd_chunked(xs, dt, A, Bm, Cm, lp["D"], init_state=ssm_in)
     else:
         y, ssm_state = ssd_decode_step(
-            xs[:, 0], dt[:, 0], A, Bm[:, 0], Cm[:, 0], lp["D"], state["ssm"]
+            xs[:, 0], dt[:, 0], A, Bm[:, 0], Cm[:, 0], lp["D"], ssm_in
         )
         y = y[:, None]
 
@@ -174,7 +203,10 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     gated = y * jax.nn.silu(z)
     gated = rms_norm(gated, lp["mixer_norm"], cfg.norm_epsilon)
     out = matmul_w(gated, lp["out_proj"])
-    return out, {"conv": conv_state.astype(state["conv"].dtype), "ssm": ssm_state}
+    return out, {
+        "conv": conv_state.astype(state["conv"].dtype),
+        "ssm": ssm_state.astype(state["ssm"].dtype),
+    }
 
 
 def _attn_mixer(cfg, lp, x, state, pos, prefill: bool):

@@ -130,7 +130,8 @@ def _compute_step_logits(model_params, cfg, hidden_2b, cfg_scale):
 
 
 def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
-                         decode_step_fn=None, prefill_fn=None, cache_fn=None):
+                         decode_step_fn=None, prefill_fn=None, cache_fn=None,
+                         cache_len: int | None = None):
     """Construct the two jittable halves of the generation program:
 
     - ``init(params, prefix_cond, prefix_codes, cfg_scale, key) -> state``:
@@ -152,6 +153,7 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
     from zonos_tpu.config import find_multiple
 
     total_seq = find_multiple(st.cond_len + audio_len + K, 64)
+    initial_cache_len = min(cache_len, total_seq) if cache_len else total_seq
     window = max(st.sampling.repetition_penalty_window, 1)
     decode_step_fn = decode_step_fn or transformer_decode_step
     prefill_fn = prefill_fn or transformer_prefill
@@ -163,7 +165,7 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
     def init(model_params, prefix_cond, prefix_codes, cfg_scale, key):
         """prefix_cond [2B, cond_len, d]; prefix_codes [B, K, prefix_audio_len]."""
         backbone_params = model_params["backbone"]
-        cache = cache_fn(2 * B, total_seq)
+        cache = cache_fn(2 * B, initial_cache_len)
 
         codes = jnp.full((B, K, audio_len), UNKNOWN_TOKEN, jnp.int32)
         if st.prefix_audio_len > 0:
@@ -448,8 +450,8 @@ class Zonos:
         return jnp.concatenate([cond, uncond], axis=0)
 
     # -- generation ------------------------------------------------------
-    def _get_generate_parts(self, statics: GenerateStatics):
-        parts = self._generate_cache.get(statics)
+    def _get_generate_parts(self, statics: GenerateStatics, cache_len: int | None = None):
+        parts = self._generate_cache.get((statics, cache_len))
         if parts is None:
             if self.config.backbone.is_transformer:
                 decode_fn, prefill_fn, cache_fn = None, None, None
@@ -465,11 +467,18 @@ class Zonos:
                     self.config.backbone, batch, seqlen
                 )
             init, loop = build_generate_parts(
-                self.config, statics, decode_fn, prefill_fn, cache_fn
+                self.config, statics, decode_fn, prefill_fn, cache_fn, cache_len=cache_len
             )
             parts = (jax.jit(init), jax.jit(loop, donate_argnums=(1,)))
-            self._generate_cache[statics] = parts
+            self._generate_cache[(statics, cache_len)] = parts
         return parts
+
+    def _grow_cache(self, cache, new_len: int):
+        if self.config.backbone.is_transformer:
+            return cache.grow(new_len)
+        from zonos_tpu.models.hybrid import grow_hybrid_cache
+
+        return grow_hybrid_cache(cache, new_len)
 
     def generate(
         self,
@@ -482,10 +491,19 @@ class Zonos:
         seed: int = 423,
         progress_bar: bool = True,
         callback: Callable[[np.ndarray, int, int], bool] | None = None,
+        cache_growth: bool | None = None,
     ) -> list[np.ndarray]:
         """Sample DAC codes; returns a list of [K, T_i] arrays (per-sample
         EOS-trimmed, audio prefix removed) — the reference's output contract
-        (zonos/model.py:437-457)."""
+        (zonos/model.py:437-457).
+
+        ``cache_growth`` starts the KV cache at a small bucket and doubles
+        it at host chunk boundaries instead of allocating the 30-s maximum
+        up front — per-step cache HBM reads scale with the *allocated*
+        length, so long generations decode much faster early on.  Results
+        are bit-identical (validity is masked; -inf scores weigh exactly 0).
+        Default: on when the sequence budget exceeds 1024 (a few extra
+        compiles, one per bucket, amortized by the jit cache)."""
         if prefix_conditioning.shape[0] != 2 * batch_size:
             raise ValueError(
                 f"prefix_conditioning batch {prefix_conditioning.shape[0]} != 2*{batch_size}"
@@ -505,7 +523,18 @@ class Zonos:
             max_new_tokens=max_new_tokens,
             sampling=sampling,
         )
-        init, loop = self._get_generate_parts(statics)
+        from zonos_tpu.config import find_multiple
+
+        total_seq = find_multiple(statics.cond_len + prefix_audio_len + max_new_tokens + K, 64)
+        if cache_growth is None:
+            cache_growth = total_seq > 1024
+        if cache_growth:
+            cache_len = find_multiple(
+                min(total_seq, statics.cond_len + prefix_audio_len + 1 + 256), 64
+            )
+        else:
+            cache_len = total_seq
+        init, loop = self._get_generate_parts(statics, cache_len if cache_growth else None)
         prefix_codes = (
             jnp.zeros((batch_size, K, 0), jnp.int32)
             if audio_prefix_codes is None
@@ -521,19 +550,26 @@ class Zonos:
         )
         max_steps = max_new_tokens + K - 1
         chunked = callback is not None or progress_bar
-        if not chunked:
+        if not chunked and not cache_growth:
             state = loop(self.params, state, cfg_scale_arr, jnp.int32(2**30))
         else:
             # chunked decode: same compiled loop, bounded per chunk, so the
             # host can report progress / allow cancellation between chunks
-            # (the step-callback contract of zonos/model.py:430-432).
+            # (the step-callback contract of zonos/model.py:430-432) and
+            # grow the cache bucket when the write position reaches it.
             from tqdm import tqdm
 
-            interval = 32
+            interval = 32 if chunked else 2**30
             done = 0
             bar = tqdm(total=max_steps, desc="Generating", disable=not progress_bar)
             while done < max_steps:
-                state = loop(self.params, state, cfg_scale_arr, jnp.int32(interval))
+                room = cache_len - int(state["pos"])
+                if room <= 0:
+                    cache_len = min(total_seq, find_multiple(cache_len * 2, 64))
+                    state["cache"] = self._grow_cache(state["cache"], cache_len)
+                    room = cache_len - int(state["pos"])
+                steps = min(interval, room) if cache_len < total_seq else interval
+                state = loop(self.params, state, cfg_scale_arr, jnp.int32(steps))
                 remaining = int(jnp.max(state["remaining"]))
                 new_done = min(max_steps, max_steps - remaining)
                 bar.update(new_done - done)

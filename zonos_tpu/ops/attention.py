@@ -122,6 +122,8 @@ def decode_attention_split(
     k_new: jnp.ndarray,  # [B, 1, H_kv, D] — this step's key/value
     v_new: jnp.ndarray,
     pos: jnp.ndarray,  # scalar int32: #valid cache rows (current token excluded)
+    k_scale: jnp.ndarray | None = None,  # [B, H_kv, S_max] — int8-cache row scales
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One query step against cache + the current token's k/v held out.
 
@@ -140,7 +142,10 @@ def decode_attention_split(
     H_kv = k_cache.shape[1]
     G = H // H_kv
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    scores = _gqa_scores(q, k_cache) * scale  # [B,H_kv,G,1,S_max] fp32
+    k_read = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
+    scores = _gqa_scores(q, k_read) * scale  # [B,H_kv,G,1,S_max] fp32
+    if k_scale is not None:  # int8 rows: fold the per-row scale into scores
+        scores = scores * k_scale[:, :, None, None, :]
     S_max = k_cache.shape[2]
     valid = jnp.arange(S_max) < pos
     scores = jnp.where(valid[None, None, None, None], scores, NEG_INF)
@@ -151,7 +156,14 @@ def decode_attention_split(
     all_scores = jnp.concatenate([scores, s_new], axis=-1)
     weights = jax.nn.softmax(all_scores, axis=-1)
     w_cache, w_new = weights[..., :S_max], weights[..., S_max:]
-    out = _gqa_output(w_cache, v_cache, q.dtype)
+    if v_scale is not None:  # fold the row scale into the weights, read int8
+        w_cache = w_cache * v_scale[:, :, None, None, :]
+        out = jnp.einsum(
+            "bhgqk,bhkd->bhgqd", w_cache.astype(q.dtype), v_cache.astype(q.dtype)
+        )
+        out = jnp.swapaxes(out.reshape(B, H_kv * G, 1, D), 1, 2).astype(q.dtype)
+    else:
+        out = _gqa_output(w_cache, v_cache, q.dtype)
     v_n = jnp.swapaxes(v_new, 1, 2)  # [B, H_kv, 1, D]
     out_new = _gqa_output(w_new, v_n, q.dtype)
     return out + out_new

@@ -121,14 +121,29 @@ def ssd_decode_step(
     D: jnp.ndarray,  # [H]
     state: jnp.ndarray,  # [B, H, P, N]
 ):
-    """One recurrence step. Returns (y [B, H, P], new_state)."""
+    """One recurrence step. Returns (y [B, H, P], new_state).
+
+    The output is computed from the OLD state:
+        y = C·(dA·s + dt·x⊗B) = dA·(C·s) + (B·C)·dt·x
+    — same algebra, expressed so the [B,H,P,N] state has one reducing
+    consumer (C·s) and one mapping consumer (decay+update) over the same
+    buffer.  Measured neutral on v5e at batch 64 (XLA schedules the two
+    state passes at the same cost as update-then-contract), but the form is
+    kept: it is the layout a fused kernel needs (single read, single write),
+    and it removes the [B,H,P,N] ``upd`` intermediate from the naive form.
+    The state IS the dominant HBM traffic of large-batch hybrid decode
+    (~134 MB/layer fp32 at batch 128 on the flagship, read+written every
+    step) — the lever that does pay is storing it bf16
+    (``ZONOS_TPU_SSM_BF16=1``, models/hybrid.py): batch-64 RTF 32 -> 53."""
     H = x.shape[1]
     Bh = jnp.repeat(Bm, H // Bm.shape[1], axis=1)  # [B, H, N]
     Ch = jnp.repeat(Cm, H // Cm.shape[1], axis=1)
     dA = jnp.exp(dt * A[None, :])  # [B, H]
-    upd = jnp.einsum("bhp,bhn->bhpn", x * dt[..., None], Bh)
-    state = state * dA[..., None, None] + upd
-    y = jnp.einsum("bhpn,bhn->bhp", state, Ch) + x * D[None, :, None]
+    xdt = x * dt[..., None]  # [B, H, P]
+    y_state = jnp.einsum("bhpn,bhn->bhp", state, Ch)  # C·s_old
+    bc = jnp.einsum("bhn,bhn->bh", Bh, Ch)  # B·C (scalar per head)
+    y = dA[..., None] * y_state + bc[..., None] * xdt + x * D[None, :, None]
+    state = state * dA[..., None, None] + jnp.einsum("bhp,bhn->bhpn", xdt, Bh)
     return y, state
 
 

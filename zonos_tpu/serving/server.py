@@ -227,8 +227,18 @@ def main(argv=None) -> None:
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=30.0)
     ap.add_argument("--int8", action="store_true", help="quantize weights for serving")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8 KV cache (lossy; halves cache HBM traffic at large batch)")
+    ap.add_argument("--ssm_bf16", action="store_true",
+                    help="bf16 Mamba2 SSM states (lossy; ~2x large-batch hybrid decode)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+    import os
+
+    if args.kv_int8:
+        os.environ["ZONOS_TPU_KV_INT8"] = "1"
+    if args.ssm_bf16:
+        os.environ["ZONOS_TPU_SSM_BF16"] = "1"
     if args.backbone is None:
         args.backbone = "hybrid" if "hybrid" in args.model else "transformer"
 
