@@ -154,3 +154,23 @@ def test_phase_timer_and_trace(tmp_path):
     assert any("a" in l for l in lines) and any("total" in l for l in lines)
     with device_trace(None):  # no-op path
         pass
+
+
+def test_device_helpers():
+    from zonos_tpu.utils.device import default_device, device_summary
+
+    d = default_device()
+    assert d is not None
+    s = device_summary()
+    assert "cpu" in s or "tpu" in s
+
+
+def test_espeak_library_env_is_harmless(monkeypatch):
+    """PHONEMIZER_ESPEAK_LIBRARY must not break the builtin G2P fallback."""
+    from zonos_tpu.text import g2p
+
+    g2p._espeak_backend.cache_clear()
+    monkeypatch.setenv("PHONEMIZER_ESPEAK_LIBRARY", "/nonexistent/libespeak.so")
+    out = g2p.phonemize(["Hello world"], ["en-us"])
+    assert out and out[0]
+    g2p._espeak_backend.cache_clear()

@@ -237,7 +237,11 @@ def main(argv=None) -> None:
 
     ap = argparse.ArgumentParser(description="zonos-tpu web UI")
     ap.add_argument("--host", default="0.0.0.0")
-    ap.add_argument("--port", type=int, default=7860)
+    import os
+
+    # honor the reference UI's env override (gradio_interface.py:423-425)
+    ap.add_argument("--port", type=int,
+                    default=int(os.environ.get("GRADIO_SERVER_PORT", 7860)))
     args = ap.parse_args(argv)
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"zonos-tpu UI on http://{args.host}:{args.port}")

@@ -241,8 +241,19 @@ def _phonemic_word_to_ipa(word: str, table: list[tuple[str, str]]) -> str:
 
 @functools.cache
 def _espeak_backend(language: str):
-    """Return a phonemizer EspeakBackend, or None if unavailable."""
+    """Return a phonemizer EspeakBackend, or None if unavailable.
+
+    Honors ``PHONEMIZER_ESPEAK_LIBRARY`` (an explicit libespeak-ng path, the
+    same escape hatch the reference documents for macOS installs —
+    zonos/conditioning.py:71-72)."""
     try:
+        import os
+
+        lib = os.environ.get("PHONEMIZER_ESPEAK_LIBRARY")
+        if lib:
+            from phonemizer.backend.espeak.wrapper import EspeakWrapper  # type: ignore
+
+            EspeakWrapper.set_library(lib)
         from phonemizer.backend import EspeakBackend  # type: ignore
 
         from zonos_tpu.text.symbols import PUNCTUATION
