@@ -133,3 +133,33 @@ def test_cache_growth_matches_full_allocation():
     assert len(ref) == len(got)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(r, g)
+
+
+def test_step_limits_per_sample():
+    """Traced per-sample duration caps: one compiled program serves mixed
+    durations; each sample's codes match the uncapped run's prefix (greedy
+    lockstep) and are trimmed to its own cap."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    model = Zonos(ZonosConfig.from_dict(d), seed=0)
+    B = 2
+    prefix = jax.random.normal(jax.random.key(3), (2 * B, 4, 64), jnp.bfloat16)
+    kw = dict(batch_size=B, max_new_tokens=40, seed=5,
+              sampling_params=SamplingParams.greedy(), progress_bar=False)
+    full = model.generate(prefix, **kw)
+    capped = model.generate(prefix, step_limits=[12, 30], **kw)
+    assert capped[0].shape[1] <= 12 and capped[1].shape[1] <= 30
+    for f, c in zip(full, capped):
+        n = c.shape[1]
+        np.testing.assert_array_equal(f[:, :n], c)

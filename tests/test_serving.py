@@ -194,3 +194,36 @@ def test_server_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post_json(base + "/v1/tts", {"text": "x", "speaker_id": "nope"}, timeout=60)
     assert e.value.code == 400
+
+
+def test_warmup_precompiles_serving_programs(tiny_model):
+    """warmup() lowers+compiles every bucket combination without executing;
+    a following generate with matching statics hits the jit cache."""
+    batcher = ContinuousBatcher(tiny_model, max_batch=2, batch_buckets=(1, 2))
+    try:
+        n = batcher.warmup(cond_lens=(32,), max_new_tokens=1200)
+        # 2 batch buckets x 1 cond_len x (1 init + >=2 growth-bucket loops)
+        assert n >= 6
+    finally:
+        batcher.close()
+
+
+def test_mixed_durations_share_a_batch(tiny_model):
+    """Requests with different max_seconds batch together (duration is a
+    traced per-sample cap, not part of the batch key)."""
+    batcher = ContinuousBatcher(tiny_model, max_batch=2, max_wait_ms=500.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2))
+    try:
+        p1 = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="short request", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(), max_new_tokens=10))
+        p2 = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="longer request", speaker=_spk(1)),
+            sampling=SamplingParams.greedy(), max_new_tokens=30))
+        w1 = p1.wait(timeout=900)
+        w2 = p2.wait(timeout=900)
+        assert w1.shape[-1] > 0 and w2.shape[-1] > 0
+        s = batcher.snapshot()
+        assert s["batches"] == 1 and s["max_batch_seen"] == 2, s
+    finally:
+        batcher.close()

@@ -162,8 +162,14 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
     prefill_len = st.prefix_audio_len + 1
     max_steps_total = st.max_new_tokens + K - 1
 
-    def init(model_params, prefix_cond, prefix_codes, cfg_scale, key):
-        """prefix_cond [2B, cond_len, d]; prefix_codes [B, K, prefix_audio_len]."""
+    def init(model_params, prefix_cond, prefix_codes, cfg_scale, key, step_limit=None):
+        """prefix_cond [2B, cond_len, d]; prefix_codes [B, K, prefix_audio_len].
+
+        ``step_limit`` (optional, traced): per-sample cap on new frames
+        ([B] or scalar int32).  The program is compiled for
+        ``statics.max_new_tokens``; shorter requests pass their duration
+        here instead of recompiling — and samples with different durations
+        can share one device batch (serving/batching.py)."""
         backbone_params = model_params["backbone"]
         cache = cache_fn(2 * B, initial_cache_len)
 
@@ -191,13 +197,17 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
         pos = jnp.int32(st.cond_len + prefill_len)  # next cache write position
 
         max_steps = delayed.shape[2] - prefill_len
+        remaining = jnp.full((B,), max_steps, jnp.int32)
+        if step_limit is not None:
+            lim = jnp.broadcast_to(jnp.asarray(step_limit, jnp.int32), (B,))
+            remaining = jnp.minimum(remaining, lim + (K - 1))
 
         return dict(
             delayed=delayed,
             cache=cache,
             offset=offset,
             pos=pos,
-            remaining=jnp.full((B,), max_steps, jnp.int32),
+            remaining=remaining,
             stopping=jnp.zeros((B,), bool),
             eos_mode=jnp.zeros((B,), bool),
             steps_after_eos=jnp.full((B,), MAX_STEPS_AFTER_EOS, jnp.int32),
@@ -492,6 +502,7 @@ class Zonos:
         progress_bar: bool = True,
         callback: Callable[[np.ndarray, int, int], bool] | None = None,
         cache_growth: bool | None = None,
+        step_limits: np.ndarray | list[int] | int | None = None,
     ) -> list[np.ndarray]:
         """Sample DAC codes; returns a list of [K, T_i] arrays (per-sample
         EOS-trimmed, audio prefix removed) — the reference's output contract
@@ -503,7 +514,12 @@ class Zonos:
         length, so long generations decode much faster early on.  Results
         are bit-identical (validity is masked; -inf scores weigh exactly 0).
         Default: on when the sequence budget exceeds 1024 (a few extra
-        compiles, one per bucket, amortized by the jit cache)."""
+        compiles, one per bucket, amortized by the jit cache).
+
+        ``step_limits``: per-sample (or scalar) cap on new frames, traced —
+        shorter requests run under the SAME compiled program (sized by
+        ``max_new_tokens``) and are trimmed to their own cap; with cache
+        growth the cache also stops growing when all samples finish."""
         if prefix_conditioning.shape[0] != 2 * batch_size:
             raise ValueError(
                 f"prefix_conditioning batch {prefix_conditioning.shape[0]} != 2*{batch_size}"
@@ -541,12 +557,18 @@ class Zonos:
             else jnp.asarray(audio_prefix_codes, jnp.int32)
         )
         cfg_scale_arr = jnp.float32(cfg_scale)
+        limits_arr = None
+        if step_limits is not None:
+            limits_arr = jnp.broadcast_to(
+                jnp.asarray(step_limits, jnp.int32), (batch_size,)
+            )
         state = init(
             self.params,
             jnp.asarray(prefix_conditioning, jnp.bfloat16),
             prefix_codes,
             cfg_scale_arr,
             jax.random.key(seed),
+            step_limit=limits_arr,
         )
         max_steps = max_new_tokens + K - 1
         chunked = callback is not None or progress_bar
@@ -591,9 +613,15 @@ class Zonos:
         eos_pos = np.where(eos_hits.any(axis=1), eos_hits.argmax(axis=1), out.shape[2])
         out = out[..., : offset - K]
         out = np.where(out >= self.config.codebook_size, 0, out)
+        limits_np = (
+            None if step_limits is None
+            else np.broadcast_to(np.asarray(step_limits, np.int64), (out.shape[0],))
+        )
         results = []
         for i in range(out.shape[0]):
             end = min(int(eos_pos[i]), out.shape[2])
+            if limits_np is not None:
+                end = min(end, prefix_audio_len + int(limits_np[i]))
             results.append(out[i, :, prefix_audio_len:end].copy())
         return results
 

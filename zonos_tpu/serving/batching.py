@@ -122,11 +122,15 @@ def build_batch_prefix(model, cond_dicts: list[dict], pad_multiple: int = 32) ->
 
 @dataclasses.dataclass(frozen=True)
 class BatchKey:
-    """Requests sharing a key may run in one device batch."""
+    """Requests sharing a key may run in one device batch.
+
+    Duration is NOT part of the key: per-sample frame caps are a traced
+    input of the decode program (``Zonos.generate(step_limits=...)``), so a
+    5-second and a 25-second request share a batch — the program is sized
+    by a bucketed maximum and each sample is trimmed to its own cap."""
 
     sampling: SamplingParams
     cfg_scale: float
-    max_new_tokens: int
 
 
 @dataclasses.dataclass
@@ -139,7 +143,20 @@ class TTSRequest:
 
     @property
     def key(self) -> BatchKey:
-        return BatchKey(self.sampling, float(self.cfg_scale), int(self.max_new_tokens))
+        return BatchKey(self.sampling, float(self.cfg_scale))
+
+
+MAX_FRAMES = 86 * 30  # model hard cap (zonos/model.py:229)
+
+
+def program_frames_bucket(n: int) -> int:
+    """Snap a requested frame count to the program-size bucket: the decode
+    program is compiled per max_new_tokens, so arbitrary durations must not
+    each pay an XLA compile (512-frame steps, capped at the 30-s maximum)."""
+    from zonos_tpu.config import find_multiple
+
+    n = min(max(int(n), 1), MAX_FRAMES)
+    return MAX_FRAMES if n > 2048 else find_multiple(n, 512)
 
 
 class PendingResult:
@@ -196,6 +213,70 @@ class ContinuousBatcher:
         self._thread.start()
 
     # -- public api --------------------------------------------------------
+    def warmup(
+        self,
+        cond_lens: tuple[int, ...] = (32, 64),
+        max_new_tokens: int | tuple[int, ...] = (512, 86 * 30),
+        sampling: SamplingParams | None = None,
+    ) -> int:
+        """Precompile the decode programs steady-state serving will hit:
+        every batch bucket × padded cond_len × cache-growth bucket.
+
+        Uses ``jit.lower(...).compile()`` on shape structs — no device
+        execution, just compilation — so a server can warm in a background
+        thread (or ahead of traffic) without occupying the chip.  Combined
+        with the persistent XLA compilation cache (server ``--compile_cache``)
+        warmup after a restart is a disk read.  Returns #programs compiled."""
+        import jax
+
+        from zonos_tpu.config import find_multiple
+        from zonos_tpu.models.tts import GenerateStatics
+
+        sampling = sampling or SamplingParams()
+        model = self.model
+        K = model.config.num_codebooks
+        d = model.config.backbone.d_model
+        frame_buckets = (max_new_tokens,) if isinstance(max_new_tokens, int) else max_new_tokens
+        count = 0
+        for B in self.batch_buckets:
+            for cond_len, frames in [(c, f) for c in cond_lens for f in frame_buckets]:
+                statics = GenerateStatics(
+                    batch_size=B, cond_len=cond_len, prefix_audio_len=0,
+                    max_new_tokens=frames, sampling=sampling,
+                )
+                total_seq = find_multiple(cond_len + frames + K, 64)
+                use_growth = total_seq > 1024  # mirror Zonos.generate's default
+                first = (
+                    find_multiple(min(total_seq, cond_len + 1 + 256), 64)
+                    if use_growth else None
+                )
+                init, loop = model._get_generate_parts(statics, first)
+                prefix_s = jax.ShapeDtypeStruct((2 * B, cond_len, d), jnp.bfloat16)
+                pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
+                scale_s = jax.ShapeDtypeStruct((), jnp.float32)
+                key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+                limit_s = jax.ShapeDtypeStruct((B,), jnp.int32)  # per-sample caps
+                state_s = jax.eval_shape(
+                    init, model.params, prefix_s, pcodes_s, scale_s, key_s, step_limit=limit_s
+                )
+                init.lower(
+                    model.params, prefix_s, pcodes_s, scale_s, key_s, step_limit=limit_s
+                ).compile()
+                count += 1
+                cache_len = first if use_growth else total_seq
+                while True:
+                    loop.lower(model.params, state_s, scale_s,
+                               jax.ShapeDtypeStruct((), jnp.int32)).compile()
+                    count += 1
+                    if cache_len >= total_seq:
+                        break
+                    cache_len = min(total_seq, find_multiple(cache_len * 2, 64))
+                    grown = jax.eval_shape(
+                        lambda c: model._grow_cache(c, cache_len), state_s["cache"]
+                    )
+                    state_s = {**state_s, "cache": grown}
+        return count
+
     def submit(self, request: TTSRequest) -> PendingResult:
         pending = PendingResult()
         with self._stats_lock:
@@ -261,16 +342,19 @@ class ContinuousBatcher:
             Bp = self._bucket(B)
             cond_dicts = [r.cond_dict for r, _ in batch]
             cond_dicts += [cond_dicts[-1]] * (Bp - B)  # pad rows, dropped below
+            limits = [int(r.max_new_tokens) for r, _ in batch]
+            limits += [1] * (Bp - B)  # padding rows stop immediately
             prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
             t0 = time.monotonic()
             codes = self.model.generate(
                 prefix,
                 batch_size=Bp,
-                max_new_tokens=key.max_new_tokens,
+                max_new_tokens=program_frames_bucket(max(limits)),
                 cfg_scale=key.cfg_scale,
                 sampling_params=key.sampling,
                 seed=batch[0][0].seed,  # one PRNG stream per device batch
                 progress_bar=False,
+                step_limits=limits,
             )
             gen_s = time.monotonic() - t0
             audio_s = 0.0

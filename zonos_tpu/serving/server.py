@@ -231,6 +231,12 @@ def main(argv=None) -> None:
                     help="int8 KV cache (lossy; halves cache HBM traffic at large batch)")
     ap.add_argument("--ssm_bf16", action="store_true",
                     help="bf16 Mamba2 SSM states (lossy; ~2x large-batch hybrid decode)")
+    ap.add_argument("--compile_cache", default="~/.cache/zonos_tpu/xla",
+                    help="persistent XLA compilation cache dir ('' disables); "
+                         "makes warm restarts a disk read instead of recompiles")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the serving decode programs (batch buckets x "
+                         "cond-len buckets x cache-growth buckets) before serving")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     import os
@@ -239,6 +245,13 @@ def main(argv=None) -> None:
         os.environ["ZONOS_TPU_KV_INT8"] = "1"
     if args.ssm_bf16:
         os.environ["ZONOS_TPU_SSM_BF16"] = "1"
+    if args.compile_cache:
+        import jax
+
+        cache_dir = os.path.expanduser(args.compile_cache)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.backbone is None:
         args.backbone = "hybrid" if "hybrid" in args.model else "transformer"
 
@@ -247,6 +260,10 @@ def main(argv=None) -> None:
         model.quantize_int8()
     state = ServerState(model, model_name=args.model,
                         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    if args.warmup:
+        print("warming decode programs ...")
+        n = state.batcher.warmup()
+        print(f"warmup done: {n} programs compiled")
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"serving on http://{args.host}:{args.port}  (POST /v1/tts)")
     try:
