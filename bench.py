@@ -24,7 +24,9 @@ BASELINE_RTF = 2.0  # reference headline number (BASELINE.md)
 
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "258"))  # 3 s of audio
+    # 10 s of audio: representative utterance length; short windows
+    # over-weight the one-time prefill (258 steps = 3 s measures ~3% lower)
+    steps = int(os.environ.get("BENCH_STEPS", "860"))
     cond_len = int(os.environ.get("BENCH_COND_LEN", "64"))
     quant = os.environ.get("BENCH_QUANT", "int8")  # serving mode; "none" = bf16
 

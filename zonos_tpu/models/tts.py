@@ -257,11 +257,20 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
             token = sample_from_logits(
                 k1, logits, st.sampling, generated_tokens=gen_window, repetition_penalty=rp
             ).astype(jnp.int32)
-            # the first-EOS substitute frame, sampled with EOS banned
-            logits_banned = logits.at[:, 0, eos_id].set(-jnp.inf)
-            token2 = sample_from_logits(
-                k2, logits_banned, st.sampling, generated_tokens=gen_window, repetition_penalty=rp
-            ).astype(jnp.int32)
+
+            # the first-EOS substitute frame, sampled with EOS banned — only
+            # computed on the (rare) step where some sample first hits EOS;
+            # the full sampling pipeline is ~a third of the non-matmul op
+            # count per step, so running it twice every step is pure waste
+            def sample_banned(_):
+                logits_banned = logits.at[:, 0, eos_id].set(-jnp.inf)
+                return sample_from_logits(
+                    k2, logits_banned, st.sampling,
+                    generated_tokens=gen_window, repetition_penalty=rp,
+                ).astype(jnp.int32)
+
+            any_new_eos = jnp.any((token[:, 0] == eos_id) & (~eos_state.eos_mode))
+            token2 = jax.lax.cond(any_new_eos, sample_banned, lambda _: token, None)
 
             token, eos_state = eos_update(
                 eos_state, token, token2, eos_id, mask_id, K, MAX_STEPS_AFTER_EOS
