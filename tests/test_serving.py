@@ -227,3 +227,24 @@ def test_mixed_durations_share_a_batch(tiny_model):
         assert s["batches"] == 1 and s["max_batch_seen"] == 2, s
     finally:
         batcher.close()
+
+
+def test_server_streaming_endpoint(server):
+    base, _ = server
+    body = {"text": "Stream me.", "max_seconds": 0.5,
+            "sampling": {"temperature": 0.0, "linear": 0.0, "conf": 0.0,
+                         "repetition_penalty": 1.0}}
+    req = urllib.request.Request(base + "/v1/tts/stream", data=json.dumps(body).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.headers["X-Sample-Rate"] == "44100"
+        pcm = r.read()
+    assert len(pcm) > 1000 and len(pcm) % 2 == 0
+
+
+def test_stats_latency_percentiles(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    if s["completed"]:
+        assert "latency_p50_s" in s

@@ -131,11 +131,17 @@ def main(argv: list[str] | None = None) -> None:
 
         args.speaking_rate = rate
         cond = cond_dict_from_args(args, [text] * args.candidates, speaker)
-        conditioning = model.prepare_conditioning(cond)
+        # bucket the phoneme length and program duration so segments of
+        # different lengths reuse one compiled program (the exact duration
+        # budget rides in as a traced per-sample cap)
+        conditioning = model.prepare_conditioning(cond, pad_to_multiple=32)
+        from zonos_tpu.serving.batching import program_frames_bucket
+
         t0 = time.perf_counter()
         codes = model.generate(
             conditioning,
-            max_new_tokens=max_tokens,
+            max_new_tokens=program_frames_bucket(max_tokens),
+            step_limits=max_tokens,
             cfg_scale=args.cfg_scale,
             batch_size=args.candidates,
             sampling_params=sampling_params_from_args(args),

@@ -251,8 +251,16 @@ def make_cond_dict(
     return cond
 
 
-def prepare_cond_inputs(specs: tuple[ConditionerSpec, ...], cond_dict: dict) -> dict:
-    """Host stage: strings -> arrays.  Returns name -> array-or-None."""
+def prepare_cond_inputs(
+    specs: tuple[ConditionerSpec, ...], cond_dict: dict, pad_to_multiple: int = 1
+) -> dict:
+    """Host stage: strings -> arrays.  Returns name -> array-or-None.
+
+    ``pad_to_multiple`` left-pads the phoneme ids (PAD symbol — the
+    reference's own intra-batch padding, zonos/conditioning.py:186-191) so
+    the prefix length snaps to a bucket: generate programs are compiled per
+    cond_len, so callers issuing many different texts (SRT segments, CLIs)
+    use this to stay inside the jit cache."""
     missing = required_keys(specs) - set(cond_dict)
     if missing:
         raise ValueError(f"Missing required conditioning keys: {missing}")
@@ -264,6 +272,13 @@ def prepare_cond_inputs(specs: tuple[ConditionerSpec, ...], cond_dict: dict) -> 
         elif spec.type == "Espeak":
             texts, languages = v
             ids, _ = tokenize_phonemes(phonemize(list(texts), list(languages)))
+            if pad_to_multiple > 1 and ids.shape[1] % pad_to_multiple:
+                from zonos_tpu.text.symbols import PAD_ID
+
+                L = -(-ids.shape[1] // pad_to_multiple) * pad_to_multiple
+                padded = np.full((ids.shape[0], L), PAD_ID, ids.dtype)
+                padded[:, L - ids.shape[1]:] = ids
+                ids = padded
             inputs[spec.name] = ids
         elif spec.type == "Integer":
             inputs[spec.name] = np.asarray(v, dtype=np.int32).reshape(1, 1, -1)

@@ -452,13 +452,16 @@ class Zonos:
         return np.asarray(lda, np.float32).reshape(1, 1, -1)
 
     # -- conditioning ----------------------------------------------------
-    def prepare_conditioning(self, cond_dict: dict, uncond_dict: dict | None = None) -> jnp.ndarray:
+    def prepare_conditioning(
+        self, cond_dict: dict, uncond_dict: dict | None = None, pad_to_multiple: int = 1
+    ) -> jnp.ndarray:
         """-> [2B, cond_len, d_model]: cond prefix stacked over uncond prefix
-        (ref: zonos/model.py:210-218)."""
+        (ref: zonos/model.py:210-218).  ``pad_to_multiple`` buckets the
+        phoneme length so varied texts reuse compiled generate programs."""
         if uncond_dict is None:
             uncond_dict = {k: cond_dict[k] for k in required_keys(self.specs) if k in cond_dict}
-        cond_in = prepare_cond_inputs(self.specs, cond_dict)
-        uncond_in = prepare_cond_inputs(self.specs, uncond_dict)
+        cond_in = prepare_cond_inputs(self.specs, cond_dict, pad_to_multiple)
+        uncond_in = prepare_cond_inputs(self.specs, uncond_dict, pad_to_multiple)
         pp = self.params["prefix_conditioner"]
         pc = self.config.prefix_conditioner
         cond = prefix_conditioner_forward(pp, self.specs, pc, cond_in, self.config.backbone.norm_epsilon)

@@ -200,6 +200,7 @@ class ContinuousBatcher:
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
+        self._latencies: list[float] = []  # submit -> result, seconds (ring)
         self.stats = {
             "requests": 0,
             "completed": 0,
@@ -279,6 +280,7 @@ class ContinuousBatcher:
 
     def submit(self, request: TTSRequest) -> PendingResult:
         pending = PendingResult()
+        pending._submitted = time.monotonic()
         with self._stats_lock:
             self.stats["requests"] += 1
         self._q.put((request, pending))
@@ -294,7 +296,11 @@ class ContinuousBatcher:
     def snapshot(self) -> dict:
         with self._stats_lock:
             s = dict(self.stats)
+            lat = sorted(self._latencies)
         s["queue_depth"] = self._q.qsize()
+        if lat:
+            s["latency_p50_s"] = round(lat[len(lat) // 2], 3)
+            s["latency_p95_s"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
         return s
 
     # -- scheduler loop ------------------------------------------------------
@@ -358,17 +364,21 @@ class ContinuousBatcher:
             )
             gen_s = time.monotonic() - t0
             audio_s = 0.0
+            lat = []
             for (_, pending), c in zip(batch, codes[:B]):
                 wavs = self.model.autoencoder.codes_to_wavs([c])
                 wav = wavs[0] if wavs else np.zeros((1, 512), np.float32)
                 audio_s += wav.shape[-1] / 44100.0
                 pending._set(wav=wav)
+                if hasattr(pending, "_submitted"):
+                    lat.append(time.monotonic() - pending._submitted)
             with self._stats_lock:
                 self.stats["completed"] += B
                 self.stats["batches"] += 1
                 self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], B)
                 self.stats["audio_seconds"] += audio_s
                 self.stats["generate_seconds"] += gen_s
+                self._latencies = (self._latencies + lat)[-1024:]
         except BaseException as e:  # noqa: BLE001 — report to all waiters
             for _, pending in batch:
                 pending._set(error=e)
