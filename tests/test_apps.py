@@ -88,6 +88,33 @@ def test_srt_end_to_end(tiny_model_dir, tmp_path):
           "--candidates", "2"])
 
 
+def test_srt_survives_bad_segment(tiny_model_dir, tmp_path, monkeypatch, capsys):
+    """A failing segment must not abort the job (ref: srt_generate.py:543-547
+    wraps per-file work in try/except so long batch runs survive)."""
+    import zonos_tpu.apps.srt as srt_mod
+
+    srt = tmp_path / "two.srt"
+    srt.write_text(
+        "1\n00:00:00,000 --> 00:00:00,500\nHi.\n\n"
+        "2\n00:00:01,000 --> 00:00:01,500\nBye.\n"
+    )
+    outdir = str(tmp_path / "srt_out")
+
+    real = srt_mod._generate_segment
+
+    def sometimes_fail(args, model, speaker, segments, i, seg, *rest):
+        if seg["index"] == 1:
+            raise RuntimeError("synthetic segment failure")
+        return real(args, model, speaker, segments, i, seg, *rest)
+
+    monkeypatch.setattr(srt_mod, "_generate_segment", sometimes_fail)
+    srt_mod.main([str(srt), "--model", tiny_model_dir, "--output_dir", outdir,
+                  "--candidates", "1"])
+    out = capsys.readouterr().out
+    assert "FAILED" in out and "1 segment(s) failed" in out
+    assert os.path.exists(os.path.join(outdir, "seg_0002.wav"))  # kept going
+
+
 def test_speaker_db_cache(tmp_path):
     from zonos_tpu.audio.io import save_audio
     from zonos_tpu.speaker_db import SpeakerUtils, hash_audio_file

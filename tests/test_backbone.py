@@ -156,3 +156,42 @@ def test_int8_kv_cache_grow(monkeypatch):
     grown = cache.grow(128)
     assert grown.k.shape[3] == 128 and grown.k_scale.shape[3] == 128
     assert grown.k.dtype == jnp.int8
+
+
+def test_f8_kv_cache_close(monkeypatch):
+    """ZONOS_TPU_KV_F8=1: scale-free float8_e4m3fn cache rows must track the
+    bf16 cache (lossy serving mode; ~2.2% elementwise storage error averages
+    out over the attention contractions)."""
+    from zonos_tpu.models.backbone import transformer_decode_step, transformer_prefill
+
+    params = init_transformer_params(jax.random.key(0), CFG, dtype=jnp.bfloat16)
+    B, S, S_max = 2, 6, 16
+    x = jax.random.normal(jax.random.key(1), (B, S, CFG.d_model), jnp.bfloat16)
+    steps = [jax.random.normal(jax.random.key(2 + t), (B, 1, CFG.d_model), jnp.bfloat16)
+             for t in range(4)]
+
+    def run():
+        cache = KVCache.create(CFG, B, S_max)
+        h, cache = transformer_prefill(CFG, params, x, cache)
+        outs = [np.asarray(h, np.float32)]
+        for t, xt in enumerate(steps):
+            h, cache = transformer_decode_step(CFG, params, xt, cache, jnp.int32(S + t))
+            outs.append(np.asarray(h, np.float32))
+        return np.concatenate([o.reshape(B, -1) for o in outs], axis=1), cache
+
+    monkeypatch.setenv("ZONOS_TPU_KV_F8", "0")
+    ref, cache_ref = run()
+    assert cache_ref.k.dtype == jnp.bfloat16
+    monkeypatch.setenv("ZONOS_TPU_KV_F8", "1")
+    got, cache_q = run()
+    assert not cache_q.quantized and cache_q.k.dtype == jnp.float8_e4m3fn
+    err = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6)
+    assert err < 0.08, f"f8 KV diverged: rel err {err:.4f}"
+
+
+def test_f8_kv_cache_grow(monkeypatch):
+    monkeypatch.setenv("ZONOS_TPU_KV_F8", "1")
+    cache = KVCache.create(CFG, 2, 64)
+    grown = cache.grow(128)
+    assert grown.k.shape[3] == 128 and grown.k.dtype == jnp.float8_e4m3fn
+    assert grown.k_scale is None

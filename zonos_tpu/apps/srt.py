@@ -95,6 +95,70 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _generate_segment(args, model, speaker, segments, i, seg, srt_mtime,
+                      chosen_paths, sr_out) -> None:
+    stem = os.path.join(args.output_dir, f"seg_{seg['index']:04d}")
+    meta_path = stem + ".json"
+    wav_path = stem + ".wav"
+
+    # incremental regeneration + manual overrides (ref: srt_generate.py:280-355)
+    meta = {}
+    if os.path.exists(meta_path):
+        meta = json.loads(Path(meta_path).read_text())
+        fresh = os.path.getmtime(meta_path) >= srt_mtime and os.path.exists(wav_path)
+        if fresh and not args.force and not meta.get("regenerate", False):
+            print(f"[{seg['index']}] up to date, skipping")
+            chosen_paths.append((seg, wav_path))
+            return
+
+    text = meta.get("text_override") or seg["text"]
+    available = segment_budget(segments, i)
+    rate = meta.get("speaking_rate_override") or solve_speaking_rate(
+        text, args.language, available
+    )
+    max_tokens = int(min(available * 86 * 1.2 + 86, 86 * 30))
+    print(f"[{seg['index']}] budget {available:.2f}s rate {rate:.1f} tokens {max_tokens}")
+
+    args.speaking_rate = rate
+    cond = cond_dict_from_args(args, [text] * args.candidates, speaker)
+    # bucket the phoneme length and program duration so segments of
+    # different lengths reuse one compiled program (the exact duration
+    # budget rides in as a traced per-sample cap)
+    conditioning = model.prepare_conditioning(cond, pad_to_multiple=32)
+    from zonos_tpu.serving.batching import program_frames_bucket
+
+    t0 = time.perf_counter()
+    codes = model.generate(
+        conditioning,
+        max_new_tokens=program_frames_bucket(max_tokens),
+        step_limits=max_tokens,
+        cfg_scale=args.cfg_scale,
+        batch_size=args.candidates,
+        sampling_params=sampling_params_from_args(args),
+        seed=args.seed + i,
+    )
+    wavs = model.autoencoder.codes_to_wavs(codes)
+    # drop duration outliers, keep candidates fitting the slot
+    durs = np.array([w.shape[1] / sr_out for w in wavs])
+    ok = [j for j in range(len(wavs)) if durs[j] <= available * 1.1]
+    pool = ok or list(range(len(wavs)))
+    scores = model.autoencoder.audio_quality(
+        [wavs[j] for j in pool], sr_out, qualities=["AQ"], average_overall=False
+    )
+    best = pool[int(np.argmax([s["AQ"] for s in scores]))]
+    from zonos_tpu.audio.io import save_audio
+
+    save_audio(wav_path, wavs[best], sr_out)
+    meta.update(
+        text=text, speaking_rate=rate, available_s=available,
+        duration_s=float(durs[best]), candidates=args.candidates,
+        gen_seconds=time.perf_counter() - t0, regenerate=False,
+    )
+    Path(meta_path).write_text(json.dumps(meta, indent=2))
+    chosen_paths.append((seg, wav_path))
+    print(f"[{seg['index']}] wrote {wav_path} ({durs[best]:.2f}s)")
+
+
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -106,68 +170,17 @@ def main(argv: list[str] | None = None) -> None:
     sr_out = model.autoencoder.sampling_rate
 
     chosen_paths = []
+    failures = []
     for i, seg in enumerate(segments):
-        stem = os.path.join(args.output_dir, f"seg_{seg['index']:04d}")
-        meta_path = stem + ".json"
-        wav_path = stem + ".wav"
-
-        # incremental regeneration + manual overrides (ref: srt_generate.py:280-355)
-        meta = {}
-        if os.path.exists(meta_path):
-            meta = json.loads(Path(meta_path).read_text())
-            fresh = os.path.getmtime(meta_path) >= srt_mtime and os.path.exists(wav_path)
-            if fresh and not args.force and not meta.get("regenerate", False):
-                print(f"[{seg['index']}] up to date, skipping")
-                chosen_paths.append((seg, wav_path))
-                continue
-
-        text = meta.get("text_override") or seg["text"]
-        available = segment_budget(segments, i)
-        rate = meta.get("speaking_rate_override") or solve_speaking_rate(
-            text, args.language, available
-        )
-        max_tokens = int(min(available * 86 * 1.2 + 86, 86 * 30))
-        print(f"[{seg['index']}] budget {available:.2f}s rate {rate:.1f} tokens {max_tokens}")
-
-        args.speaking_rate = rate
-        cond = cond_dict_from_args(args, [text] * args.candidates, speaker)
-        # bucket the phoneme length and program duration so segments of
-        # different lengths reuse one compiled program (the exact duration
-        # budget rides in as a traced per-sample cap)
-        conditioning = model.prepare_conditioning(cond, pad_to_multiple=32)
-        from zonos_tpu.serving.batching import program_frames_bucket
-
-        t0 = time.perf_counter()
-        codes = model.generate(
-            conditioning,
-            max_new_tokens=program_frames_bucket(max_tokens),
-            step_limits=max_tokens,
-            cfg_scale=args.cfg_scale,
-            batch_size=args.candidates,
-            sampling_params=sampling_params_from_args(args),
-            seed=args.seed + i,
-        )
-        wavs = model.autoencoder.codes_to_wavs(codes)
-        # drop duration outliers, keep candidates fitting the slot
-        durs = np.array([w.shape[1] / sr_out for w in wavs])
-        ok = [j for j in range(len(wavs)) if durs[j] <= available * 1.1]
-        pool = ok or list(range(len(wavs)))
-        scores = model.autoencoder.audio_quality(
-            [wavs[j] for j in pool], sr_out, qualities=["AQ"], average_overall=False
-        )
-        best = pool[int(np.argmax([s["AQ"] for s in scores]))]
-        from zonos_tpu.audio.io import save_audio
-
-        save_audio(wav_path, wavs[best], sr_out)
-        meta.update(
-            text=text, speaking_rate=rate, available_s=available,
-            duration_s=float(durs[best]), candidates=args.candidates,
-            gen_seconds=time.perf_counter() - t0, regenerate=False,
-        )
-        Path(meta_path).write_text(json.dumps(meta, indent=2))
-        chosen_paths.append((seg, wav_path))
-        print(f"[{seg['index']}] wrote {wav_path} ({durs[best]:.2f}s)")
-
+        try:
+            _generate_segment(args, model, speaker, segments, i, seg, srt_mtime,
+                              chosen_paths, sr_out)
+        except Exception as e:  # keep long jobs alive past one bad segment
+            # (ref: srt_generate.py:543-547 wraps per-file work in try/except)
+            failures.append((seg["index"], repr(e)))
+            print(f"[{seg['index']}] FAILED: {e!r} — continuing")
+    if failures:
+        print(f"{len(failures)} segment(s) failed: {[i for i, _ in failures]}")
     if args.concat:
         from zonos_tpu.audio.io import load_audio, save_audio
 

@@ -73,6 +73,8 @@ def _gqa_output(weights: jnp.ndarray, v: jnp.ndarray, out_dtype) -> jnp.ndarray:
     """weights [B, H_kv, G, Sq, Sk] x v [B, H_kv, Sk, D] -> [B, Sq, H, D]."""
     B, H_kv, G, Sq, _ = weights.shape
     D = v.shape[-1]
+    if v.dtype.itemsize < 2:  # f8 cache: up-cast v into the contraction, never
+        v = v.astype(jnp.bfloat16)  # down-cast the softmax weights to 1 byte
     out = jnp.einsum("bhgqk,bhkd->bhgqd", weights.astype(v.dtype), v)
     return jnp.swapaxes(out.reshape(B, H_kv * G, Sq, D), 1, 2).astype(out_dtype)
 
@@ -142,7 +144,7 @@ def decode_attention_split(
     H_kv = k_cache.shape[1]
     G = H // H_kv
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    k_read = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
+    k_read = k_cache if k_cache.dtype == q.dtype else k_cache.astype(q.dtype)
     scores = _gqa_scores(q, k_read) * scale  # [B,H_kv,G,1,S_max] fp32
     if k_scale is not None:  # int8 rows: fold the per-row scale into scores
         scores = scores * k_scale[:, :, None, None, :]
@@ -201,6 +203,8 @@ def decode_attention(
         return decode_attention_pallas(q, k_cache, v_cache, length)
     D = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    if k_cache.dtype != q.dtype:
+        k_cache = k_cache.astype(q.dtype)
     scores = _gqa_scores(q, k_cache) * scale  # [B,H_kv,G,1,S_max] fp32
     S_max = k_cache.shape[2]
     valid = jnp.arange(S_max) < length  # [S_max]

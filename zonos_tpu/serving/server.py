@@ -229,6 +229,10 @@ def main(argv=None) -> None:
     ap.add_argument("--int8", action="store_true", help="quantize weights for serving")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache (lossy; halves cache HBM traffic at large batch)")
+    ap.add_argument("--kv_f8", action="store_true",
+                    help="float8 (e4m3) KV cache: int8's HBM savings without "
+                         "per-row scales — faster per step (no scale writes), "
+                         "slightly coarser rows (~2.2%% vs 0.4%% storage error)")
     ap.add_argument("--ssm_bf16", action="store_true",
                     help="bf16 Mamba2 SSM states (lossy; ~2x large-batch hybrid decode)")
     ap.add_argument("--compile_cache", default="~/.cache/zonos_tpu/xla",
@@ -243,6 +247,8 @@ def main(argv=None) -> None:
 
     if args.kv_int8:
         os.environ["ZONOS_TPU_KV_INT8"] = "1"
+    if args.kv_f8:
+        os.environ["ZONOS_TPU_KV_F8"] = "1"
     if args.ssm_bf16:
         os.environ["ZONOS_TPU_SSM_BF16"] = "1"
     if args.compile_cache:
