@@ -1,8 +1,10 @@
 """Benchmark: audio-seconds generated per wall second per chip (RTF).
 
 Runs the flagship Zonos-v0.1-transformer architecture (random weights — the
-checkpoint is not distributable with the repo) through the real jitted
-generate program and measures steady-state decode throughput.
+checkpoint is not distributable with the repo) through the real public
+``Zonos.generate`` path — the same program users run, including the default
+cache-growth bucketing — and measures steady-state throughput over 10-s
+utterances (prefill amortized as in real use).
 
 Prints ONE JSON line:
   {"metric": "rtf_batch1", "value": N, "unit": "audio_sec/sec/chip",
@@ -36,8 +38,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from zonos_tpu.config import HYBRID_CONFIG_DICT, TRANSFORMER_CONFIG_DICT, ZonosConfig
-    from zonos_tpu.models.tts import GenerateStatics, Zonos, build_generate_fn
-    from zonos_tpu.ops.sampling import SamplingParams
+    from zonos_tpu.models.tts import Zonos
 
     cfg_dict = HYBRID_CONFIG_DICT if arch == "hybrid" else TRANSFORMER_CONFIG_DICT
     cfg = ZonosConfig.from_dict(cfg_dict)
@@ -46,39 +47,31 @@ def main() -> None:
         model.quantize_int8()
     elif quant == "int4":
         model.quantize_int4()
-    params = jax.device_put(model.params)
 
-    sampling = SamplingParams()  # default Zonos sampling (unified + rep penalty)
     d = cfg.backbone.d_model
     prefix = jax.device_put(
         jax.random.normal(jax.random.key(1), (2 * batch, cond_len, d), jnp.bfloat16)
     )
-    no_prefix = jnp.zeros((batch, cfg.num_codebooks, 0), jnp.int32)
 
-    def run(n_tokens: int, seed: int):
-        statics = GenerateStatics(
-            batch_size=batch, cond_len=cond_len, prefix_audio_len=0,
-            max_new_tokens=n_tokens, sampling=sampling,
+    def run(seed: int) -> float:
+        """One full generate; returns audio-seconds produced."""
+        out = model.generate(
+            prefix, max_new_tokens=steps, batch_size=batch, seed=seed,
+            progress_bar=False,
         )
-        init, loop = model._get_generate_parts(statics)
-        state = init(params, prefix, no_prefix, jnp.float32(2.0), jax.random.key(seed))
-        state = loop(params, state, jnp.float32(2.0), jnp.int32(2**30))
-        jax.block_until_ready(state["delayed"])
-        return int(state["offset"])
+        return sum(o.shape[1] for o in out) / FRAME_RATE
 
-    # Warmup/compile (short and full-length programs are distinct compiles).
-    run(steps, seed=0)
+    # Warmup/compile (covers every cache-growth bucket's loop program).
+    run(seed=0)
     profile = os.environ.get("BENCH_PROFILE") == "1"
     if profile:
         jax.profiler.start_trace("/tmp/zonos_tpu_trace")
     t0 = time.perf_counter()
-    offset = run(steps, seed=1)
+    audio_sec = run(seed=1)
     dt = time.perf_counter() - t0
     if profile:
         jax.profiler.stop_trace()
 
-    frames = offset - 1  # decoded delayed frames (includes the prefill sample)
-    audio_sec = frames / FRAME_RATE * batch
     rtf = audio_sec / dt
     suffix = "" if arch == "transformer" else f"_{arch}"
     result = {

@@ -135,6 +135,20 @@ def test_cache_growth_matches_full_allocation():
         np.testing.assert_array_equal(r, g)
 
 
+def test_default_cache_growth_heuristic():
+    """Growth defaults on for long sequences at any batch and for batch >= 8
+    past the first bucket; off where cache reads are a rounding error
+    (batch 1, short budgets) — docs/PERFORMANCE.md has the measurements."""
+    from zonos_tpu.models.tts import default_cache_growth
+
+    assert default_cache_growth(2688, batch_size=1)  # 30-s generation
+    assert default_cache_growth(960, batch_size=8)  # 10-s utterance, batch 8
+    assert default_cache_growth(960, batch_size=64)
+    assert not default_cache_growth(960, batch_size=1)  # weight-stream bound
+    assert not default_cache_growth(384, batch_size=64)  # fits first bucket
+    assert not default_cache_growth(128, batch_size=1)
+
+
 def test_step_limits_per_sample():
     """Traced per-sample duration caps: one compiled program serves mixed
     durations; each sample's codes match the uncapped run's prefix (greedy

@@ -14,6 +14,8 @@ Layout note: codes are ``[batch, n_codebooks, time]`` int32.  n_codebooks is
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -35,7 +37,13 @@ def revert_delay_pattern(codes: jnp.ndarray) -> jnp.ndarray:
 
     Input ``[B, K, S]`` -> output ``[B, K, S-K]`` with
     ``out[:, k, t] = codes[:, k, t+k+1]``.
+
+    Accepts numpy or jax arrays and stays in the caller's namespace: the
+    post-generate trim runs on host-resident codes, and eager jnp slicing
+    there would dispatch ~10 tiny device ops (each a round-trip on a
+    tunneled TPU) for work numpy does in microseconds.
     """
+    xp = np if isinstance(codes, np.ndarray) else jnp
     B, K, S = codes.shape
     rows = [codes[:, k, k + 1 : S - K + k + 1] for k in range(K)]
-    return jnp.stack(rows, axis=1)
+    return xp.stack(rows, axis=1)
