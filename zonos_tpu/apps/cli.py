@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--no_prefix_silence", action="store_true",
                     help="Skip the default 100 ms silence audio prefix.")
+    # parity with zonos_cli.py:94 (there --progress_bar defaults True and
+    # cannot actually be turned off; here the negative form can)
+    ap.add_argument("--progress_bar", dest="progress_bar", default=True,
+                    action="store_true", help="Show progress bar (default).")
+    ap.add_argument("--no_progress_bar", dest="progress_bar", action="store_false")
     add_conditioning_args(ap)
     add_sampling_args(ap)
     add_model_args(ap)
@@ -57,6 +62,7 @@ def main(argv: list[str] | None = None) -> None:
             batch_size=args.batch_size,
             sampling_params=sampling_params_from_args(args),
             seed=args.seed,
+            progress_bar=args.progress_bar,
         )
     outputs = (
         [args.output]

@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--force", action="store_true", help="Regenerate all segments.")
     ap.add_argument("--concat", default=None,
                     help="Also write one concatenated wav at subtitle offsets.")
+    ap.add_argument("--buffer", type=float, default=0.2,
+                    help="Seconds reserved before the next segment starts "
+                         "(ref: srt_generate.py:244).")
+    ap.add_argument("--target_rate", type=float, default=None,
+                    help="Floor for the solved speaking rate (phonemes/s); "
+                         "segments with slack keep at least this pace instead "
+                         "of stretching to fill (ref: srt_generate.py:243).")
     add_conditioning_args(ap)
     add_sampling_args(ap)
     add_model_args(ap)
@@ -112,10 +119,12 @@ def _generate_segment(args, model, speaker, segments, i, seg, srt_mtime,
             return
 
     text = meta.get("text_override") or seg["text"]
-    available = segment_budget(segments, i)
+    available = segment_budget(segments, i, buffer_s=args.buffer)
     rate = meta.get("speaking_rate_override") or solve_speaking_rate(
         text, args.language, available
     )
+    if args.target_rate is not None:
+        rate = max(rate, args.target_rate)
     max_tokens = int(min(available * 86 * 1.2 + 86, 86 * 30))
     print(f"[{seg['index']}] budget {available:.2f}s rate {rate:.1f} tokens {max_tokens}")
 
