@@ -135,6 +135,25 @@ def test_cache_growth_matches_full_allocation():
         np.testing.assert_array_equal(r, g)
 
 
+def test_callback_sees_finishing_chunk(model, cond):
+    """The step callback must run for the chunk in which generation ends
+    (the reference calls it on every step including the last,
+    zonos/model.py:430-432) — a consumer tracking completion through it
+    must observe done == max_steps."""
+    prefix = model.prepare_conditioning(cond)
+    calls = []
+
+    def cb(frame, done, max_steps):
+        calls.append((done, max_steps))
+        return True
+
+    # step_limits=10 finishes inside the first 32-step chunk
+    model.generate(prefix, max_new_tokens=86, seed=5, step_limits=10,
+                   progress_bar=False, callback=cb)
+    assert calls, "callback never invoked"
+    assert calls[-1][0] == calls[-1][1], f"final callback saw {calls[-1]}"
+
+
 def test_default_cache_growth_heuristic():
     """Growth defaults on for long sequences at any batch and for batch >= 8
     past the first bucket; off where cache reads are a rounding error
@@ -147,6 +166,9 @@ def test_default_cache_growth_heuristic():
     assert not default_cache_growth(960, batch_size=1)  # weight-stream bound
     assert not default_cache_growth(384, batch_size=64)  # fits first bucket
     assert not default_cache_growth(128, batch_size=1)
+    # hybrid: SSM states dominate; only grow where it bounds allocation
+    assert not default_cache_growth(960, batch_size=64, is_transformer=False)
+    assert default_cache_growth(2688, batch_size=1, is_transformer=False)
 
 
 def test_step_limits_per_sample():

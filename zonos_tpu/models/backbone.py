@@ -38,10 +38,9 @@ from zonos_tpu.ops.rope import apply_rope, rope_table
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from zonos_tpu.utils.device import on_tpu
+
+    return on_tpu()
 
 
 def matmul_w(x: jnp.ndarray, w) -> jnp.ndarray:
@@ -274,8 +273,11 @@ def _mix(cfg: BackboneConfig, lp: dict, x, cos, sin, k_cache, v_cache, offset, p
     if prefill:
         y = fresh_prefill_attention(q, k, v)
     elif k_scale is None and (os.environ.get("ZONOS_TPU_FLASH") == "1" or use_pallas()):
-        # opt-in Pallas kernels consume an updated bf16 cache; pay the
-        # per-layer copy on this experimental path only
+        # opt-in Pallas kernels consume an updated bf16 cache, so this path
+        # knowingly violates the "never update the cache inside the layer
+        # scan" rule (CLAUDE.md): XLA copies the scan-sliced operand every
+        # step, part of why these kernels measure slower than the default
+        # split-attention path.  Kept as a correctness baseline only.
         k_upd, v_upd = update_kv_cache(k_cache, v_cache, k, v, offset)
         y = decode_attention(q, k_upd, v_upd, length=offset + 1)
     else:

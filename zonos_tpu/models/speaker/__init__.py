@@ -41,7 +41,9 @@ class SpeakerEmbedding:
             path = hub_download("Zyphra/Zonos-v0.1-speaker-embedding", "ResNet293_SimAM_ASP_base.pt")
             sd = torch.load(path, weights_only=True, map_location="cpu")
             return convert_speaker_state_dict(sd)
-        except FileNotFoundError:
+        except (FileNotFoundError, ImportError):
+            # ImportError: torch is a dev-only dependency; conversion needs
+            # it but the random-weights fallback must not
             logger.warning("speaker checkpoint not found; using random tower weights")
             return init_speaker_params(jax.random.key(0))
 
@@ -79,7 +81,7 @@ class SpeakerEmbeddingLDA:
                 "Zyphra/Zonos-v0.1-speaker-embedding", "ResNet293_SimAM_ASP_base_LDA-128.pt"
             )
             return convert_lda_state_dict(torch.load(path, weights_only=True, map_location="cpu"))
-        except FileNotFoundError:
+        except (FileNotFoundError, ImportError):
             logger.warning("LDA checkpoint not found; using random projection")
             rng = np.random.default_rng(0)
             return {

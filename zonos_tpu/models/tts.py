@@ -311,18 +311,26 @@ def build_generate_fn(cfg: ZonosConfig, statics: GenerateStatics,
     return generate
 
 
-def default_cache_growth(total_seq: int, batch_size: int) -> bool:
+def default_cache_growth(total_seq: int, batch_size: int, is_transformer: bool = True) -> bool:
     """Default for ``Zonos.generate(cache_growth=...)``.
 
     Per-step cache HBM reads scale with the *allocated* length, so bucketed
     growth pays whenever those reads are a meaningful share of the step's
-    traffic: any long sequence (>1024), or batch >= 8 once the budget
-    exceeds the first bucket plus one doubling (~448).  Measured at batch
-    64 over 10-s utterances (int8 weights, f8 KV): 72.2 -> 84.8 RTF.  At
-    batch 1 the cache is a few percent of the weight stream and the extra
-    per-bucket loop compiles are not worth it.
+    traffic: any long sequence (>1024), or — transformer only — batch >= 8
+    once the budget exceeds the first bucket plus one doubling (~448).
+    Measured at batch 64 over 10-s utterances (int8 weights, f8 KV):
+    72.2 -> 84.8 RTF.  At batch 1 the cache is a few percent of the weight
+    stream and the extra per-bucket loop compiles are not worth it.
+
+    The hybrid's per-step cache traffic is dominated by its fixed-size
+    Mamba2 SSM states, not the 4 attention layers' KV — growth shrinks
+    almost nothing there and the chunk-boundary syncs cost ~3% (measured
+    batch 64: 57.1 -> 55.3 RTF), so the hybrid only grows past 1024 where
+    it bounds allocation.
     """
-    return total_seq > 1024 or (batch_size >= 8 and total_seq > 448)
+    if total_seq > 1024:
+        return True
+    return is_transformer and batch_size >= 8 and total_seq > 448
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +578,9 @@ class Zonos:
 
         total_seq = find_multiple(statics.cond_len + prefix_audio_len + max_new_tokens + K, 64)
         if cache_growth is None:
-            cache_growth = default_cache_growth(total_seq, batch_size)
+            cache_growth = default_cache_growth(
+                total_seq, batch_size, self.config.backbone.is_transformer
+            )
         if cache_growth:
             cache_len = find_multiple(
                 min(total_seq, statics.cond_len + prefix_audio_len + 1 + 256), 64
@@ -628,13 +638,16 @@ class Zonos:
                 new_done = min(max_steps, max_steps - remaining)
                 bar.update(new_done - done)
                 done = new_done
-                if remaining <= 0:
-                    break
+                # consult the callback before breaking so it also sees the
+                # finishing chunk (the reference calls it on every step
+                # including the last, zonos/model.py:430-432)
                 if callback is not None:
                     offset_now = int(state["offset"])
                     frame = np.asarray(state["delayed"][..., offset_now : offset_now + 1])
                     if not callback(frame, done, max_steps):
                         break
+                if remaining <= 0:
+                    break
             bar.close()
         # one transfer for both results (two separate fetches are two
         # round-trips on a tunneled device)
@@ -642,9 +655,11 @@ class Zonos:
         offset = int(offset_arr)
 
         out = revert_delay_pattern(delayed)
-        # first EOS per sample in codebook 0 (0 => never stopped)
-        eos_hits = out[:, 0, :] == self.eos_token_id
-        eos_pos = np.where(eos_hits.any(axis=1), eos_hits.argmax(axis=1), out.shape[2])
+        # first EOS per sample in codebook 0; position 0 (no hit, or a hit
+        # at frame 0) means full length — reference semantics
+        # (zonos/model.py:441-442: eos_positions[eos_positions == 0] = T)
+        eos_pos = np.asarray(out[:, 0, :] == self.eos_token_id).argmax(axis=1)
+        eos_pos[eos_pos == 0] = out.shape[2]
         out = out[..., : offset - K]
         out = np.where(out >= self.config.codebook_size, 0, out)
         limits_np = (
@@ -728,8 +743,9 @@ class Zonos:
             out = revert_delay_pattern(delayed)
             offset = int(offset_arr)
             out = out[0, :, : offset - K]
-            eos_hits = out[0] == self.eos_token_id
-            end = int(eos_hits.argmax()) if eos_hits.any() else out.shape[1]
+            # argmax == 0 (no hit, or hit at frame 0) => full length
+            # (reference semantics, zonos/model.py:441-442)
+            end = int(np.asarray(out[0] == self.eos_token_id).argmax()) or out.shape[1]
             out = np.where(out >= self.config.codebook_size, 0, out)
             return out[:, prefix_audio_len:end]
 

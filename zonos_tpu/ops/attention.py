@@ -37,10 +37,9 @@ def use_pallas() -> bool:
     """
     if os.environ.get("ZONOS_TPU_PALLAS") != "1":
         return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    from zonos_tpu.utils.device import on_tpu
+
+    return on_tpu()
 
 
 def update_kv_cache(
@@ -189,11 +188,9 @@ def decode_attention(
     """
     aligned = q.shape[-1] % 128 == 0 and q.shape[2] % k_cache.shape[1] == 0
     if aligned and os.environ.get("ZONOS_TPU_FLASH") == "1":
-        try:
-            on_tpu = jax.default_backend() in ("tpu", "axon")
-        except Exception:
-            on_tpu = False
-        if on_tpu:
+        from zonos_tpu.utils.device import on_tpu
+
+        if on_tpu():
             from zonos_tpu.ops.pallas_kernels import flash_decode_attention_pallas
 
             return flash_decode_attention_pallas(q, k_cache, v_cache, length)

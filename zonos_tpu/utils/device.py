@@ -21,6 +21,19 @@ logger = logging.getLogger("zonos_tpu.device")
 _PREFERENCE = ("tpu", "axon", "gpu", "cuda", "cpu")
 
 
+def on_tpu() -> bool:
+    """Whether the default JAX backend is a TPU ("axon" is the tunneled
+    single-chip platform in the dev environment).  The single source of
+    truth for kernel-dispatch decisions (backbone int4 matmul, Pallas
+    attention paths)."""
+    import jax
+
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def set_device(platform: str) -> None:
     """Force the JAX platform (call before any jitted computation)."""
     import jax
