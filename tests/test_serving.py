@@ -107,6 +107,32 @@ def test_continuous_batcher_merges_requests(tiny_model):
         batcher.close()
 
 
+def test_bad_request_does_not_poison_batch(tiny_model):
+    """One malformed request sharing the batch window must fail alone; the
+    co-batched valid request still synthesizes."""
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=500.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        good = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="fine request", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(), max_new_tokens=18))
+        bad_cd = make_cond_dict(text="broken", speaker=_spk(1))
+        bad_cd["espeak"] = (["two", "texts"], ["en-us", "en-us"])  # invalid
+        bad = batcher.submit(TTSRequest(
+            cond_dict=bad_cd, sampling=SamplingParams.greedy(), max_new_tokens=18))
+        w = good.wait(timeout=900)
+        assert w.ndim == 2 and w.shape[-1] > 0
+        try:
+            bad.wait(timeout=900)
+            raise AssertionError("bad request should have raised")
+        except ValueError as e:
+            assert "one text per request" in str(e)
+        s = batcher.snapshot()
+        assert s["completed"] >= 1 and s["failed"] == 1
+    finally:
+        batcher.close()
+
+
 def test_continuous_batcher_groups_by_key(tiny_model):
     """Different sampling params must not share a device batch."""
     batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=300.0,

@@ -112,3 +112,39 @@ def test_warmup_cosine_schedule_and_clip():
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
     )
     assert moved
+
+
+def test_train_matches_inference_contract():
+    """Overfit one (cond, codes) pair, then greedy decode must reproduce the
+    memorized codes.  This pins the teacher-forcing alignment to the decode
+    loop's contract (hidden at the position of delayed[j] predicts
+    delayed[j+1]): an off-by-one in the loss slice still *descends* but
+    trains every position one frame ahead of what inference asks, and this
+    test catches it (the decoded codes come out shifted/garbled)."""
+    model = Zonos(TRANS, seed=0)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model.params)
+    T, Lc = 6, 4
+    rng = np.random.default_rng(3)
+    cond = jnp.asarray(rng.normal(size=(1, Lc, TRANS.backbone.d_model)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, 1024, size=(1, TRANS.num_codebooks, T)), jnp.int32)
+
+    opt = make_optimizer(lr=5e-3, weight_decay=0.0, grad_clip=None)
+    step = jax.jit(make_train_step(TRANS, opt))
+    opt_state = opt.init(params)
+    loss = None
+    for _ in range(400):
+        params, opt_state, loss = step(params, opt_state, cond, codes)
+        if float(loss) < 0.01:
+            break
+    assert float(loss) < 0.05, f"failed to memorize: loss {float(loss)}"
+
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    # cast trained f32 leaves back to the serving dtypes (bf16 decode loop)
+    model.params = jax.tree.map(
+        lambda orig, trained: jnp.asarray(trained, orig.dtype), model.params, params
+    )
+    prefix = jnp.concatenate([cond, cond], axis=0)  # cfg_scale=1 -> cond logits
+    out = model.generate(prefix, max_new_tokens=T, cfg_scale=1.0, seed=0,
+                         sampling_params=SamplingParams.greedy(), progress_bar=False)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(codes[0]))

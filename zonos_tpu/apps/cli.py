@@ -50,7 +50,10 @@ def main(argv: list[str] | None = None) -> None:
         speaker = make_speaker(args, model)
     prefix = None if args.no_prefix_silence and not args.prefix_audio else prefix_codes(args, model, args.batch_size)
 
-    cond = cond_dict_from_args(args, args.text, speaker)
+    # one text replicated across the batch (generate requires prefix batch
+    # 2*batch_size; a single string would conditions only one row)
+    text = args.text if args.batch_size == 1 else [args.text] * args.batch_size
+    cond = cond_dict_from_args(args, text, speaker)
     conditioning = model.prepare_conditioning(cond)
     print("Generating...")
     with timer.phase("generate"), device_trace(args.profile):

@@ -187,13 +187,17 @@ class Handler(BaseHTTPRequestHandler):
             data = file_entry[0]
             key = hash(data)
             if key not in _STATE["spk_cache"]:
+                import os
                 import tempfile
+
+                from zonos_tpu.audio.io import load_audio, to_mono
 
                 with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
                     f.write(data)
-                from zonos_tpu.audio.io import load_audio, to_mono
-
-                wav, sr = load_audio(f.name)
+                try:
+                    wav, sr = load_audio(f.name)
+                finally:
+                    os.unlink(f.name)  # one leaked clip per upload otherwise
                 _STATE["spk_cache"][key] = model.make_speaker_embedding(to_mono(wav), sr)
             speaker = _STATE["spk_cache"][key]
 

@@ -24,10 +24,15 @@ def trim_silence(wav: np.ndarray, threshold: float = 1e-5, frame_size: int = 512
             start = i * frame_size
             break
 
+    # Trailing scan starts at i=1: the reference's i=0 slice wav[:, -512:0]
+    # is empty (NaN energy, never matches), so the final frame is never
+    # tested and speech running to the very end is kept
+    # (zonos/autoencoder.py:80-85).  Like the reference, a loud frame found
+    # at i>=1 is itself cut (end = start of that frame) — asymmetric with
+    # the leading scan, but that is the parity contract.
     end = T
-    for i in range(num_frames):
-        stop = -i * frame_size if i > 0 else None
-        frame = wav[:, -((i + 1) * frame_size) : stop]
+    for i in range(1, num_frames):
+        frame = wav[:, -((i + 1) * frame_size) : -(i * frame_size)]
         if (frame**2).mean() > threshold:
             end = T - (i + 1) * frame_size
             break

@@ -51,7 +51,12 @@ def multicodebook_loss(
     x = jnp.concatenate([cond, embed_codes(params, inputs).astype(cond.dtype)], axis=1)
     hidden = _backbone_forward(cfg, params, x, remat)
     Lc = cond.shape[1]
-    h_audio = hidden[:, Lc - 1 : Lc - 1 + targets.shape[-1]]  # [B, T-1, d]
+    # hidden[:, Lc + j] sits at the position of inputs[j] = delayed[j] and
+    # must predict delayed[j+1] = targets[j] — the same contract the decode
+    # loop uses (the step's hidden state yields the NEXT delayed frame).
+    # Slicing from Lc-1 instead would train every position one frame ahead
+    # of what inference asks of it (tested: test_train_matches_inference).
+    h_audio = hidden[:, Lc : Lc + targets.shape[-1]]  # [B, T-1, d]
     logits = (h_audio @ params["heads"]).reshape(*h_audio.shape[:2], K, Vp)
     logits = logits.astype(jnp.float32)
 

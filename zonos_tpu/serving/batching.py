@@ -191,11 +191,15 @@ class ContinuousBatcher:
         max_wait_ms: float = 30.0,
         cond_pad_multiple: int = 32,
         batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+        device_lock: threading.Lock | None = None,
     ):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.cond_pad_multiple = cond_pad_multiple
+        # serializes device programs against other chip users (the server's
+        # streaming endpoint shares its lock through this parameter)
+        self.device_lock = device_lock or threading.Lock()
         self.batch_buckets = tuple(sorted(b for b in batch_buckets if b <= max_batch)) or (max_batch,)
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._stop = threading.Event()
@@ -217,7 +221,9 @@ class ContinuousBatcher:
     def warmup(
         self,
         cond_lens: tuple[int, ...] = (32, 64),
-        max_new_tokens: int | tuple[int, ...] = (512, 86 * 30),
+        # every value program_frames_bucket can produce — a bucket missing
+        # here is a multi-second XLA compile on live traffic
+        max_new_tokens: int | tuple[int, ...] = (512, 1024, 1536, 2048, 86 * 30),
         sampling: SamplingParams | None = None,
     ) -> int:
         """Precompile the decode programs steady-state serving will hit:
@@ -246,7 +252,13 @@ class ContinuousBatcher:
                     max_new_tokens=frames, sampling=sampling,
                 )
                 total_seq = find_multiple(cond_len + frames + K, 64)
-                use_growth = total_seq > 1024  # mirror Zonos.generate's default
+                # MUST mirror Zonos.generate's default exactly, or serving
+                # compiles the real programs at request time anyway
+                from zonos_tpu.models.tts import default_cache_growth
+
+                use_growth = default_cache_growth(
+                    total_seq, B, model.config.backbone.is_transformer
+                )
                 first = (
                     find_multiple(min(total_seq, cond_len + 1 + 256), 64)
                     if use_growth else None
@@ -343,6 +355,27 @@ class ContinuousBatcher:
         return self.batch_buckets[-1]
 
     def _process(self, batch: list, key: BatchKey):
+        # per-request validation first, so one malformed request (bad
+        # emotion length, missing required key, multi-text cond) fails only
+        # its own submitter instead of poisoning every co-batched request
+        from zonos_tpu.conditioning import prepare_cond_inputs
+
+        good = []
+        for item in batch:
+            r, pending = item
+            try:
+                texts, _ = r.cond_dict["espeak"]
+                if len(texts) != 1:
+                    raise ValueError("one text per request (batching is across requests)")
+                prepare_cond_inputs(self.model.specs, r.cond_dict, self.cond_pad_multiple)
+                good.append(item)
+            except Exception as e:  # noqa: BLE001
+                pending._set(error=e)
+                with self._stats_lock:
+                    self.stats["failed"] += 1
+        if not good:
+            return
+        batch = good
         try:
             B = len(batch)
             Bp = self._bucket(B)
@@ -350,23 +383,26 @@ class ContinuousBatcher:
             cond_dicts += [cond_dicts[-1]] * (Bp - B)  # pad rows, dropped below
             limits = [int(r.max_new_tokens) for r, _ in batch]
             limits += [1] * (Bp - B)  # padding rows stop immediately
-            prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
             t0 = time.monotonic()
-            codes = self.model.generate(
-                prefix,
-                batch_size=Bp,
-                max_new_tokens=program_frames_bucket(max(limits)),
-                cfg_scale=key.cfg_scale,
-                sampling_params=key.sampling,
-                seed=batch[0][0].seed,  # one PRNG stream per device batch
-                progress_bar=False,
-                step_limits=limits,
-            )
+            with self.device_lock:  # whole device section: conditioner
+                # forward + decode loop + vocoder (streaming must not
+                # interleave)
+                prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
+                codes = self.model.generate(
+                    prefix,
+                    batch_size=Bp,
+                    max_new_tokens=program_frames_bucket(max(limits)),
+                    cfg_scale=key.cfg_scale,
+                    sampling_params=key.sampling,
+                    seed=batch[0][0].seed,  # one PRNG stream per device batch
+                    progress_bar=False,
+                    step_limits=limits,
+                )
+                wav_lists = [self.model.autoencoder.codes_to_wavs([c]) for c in codes[:B]]
             gen_s = time.monotonic() - t0
             audio_s = 0.0
             lat = []
-            for (_, pending), c in zip(batch, codes[:B]):
-                wavs = self.model.autoencoder.codes_to_wavs([c])
+            for (_, pending), wavs in zip(batch, wav_lists):
                 wav = wavs[0] if wavs else np.zeros((1, 512), np.float32)
                 audio_s += wav.shape[-1] / 44100.0
                 pending._set(wav=wav)

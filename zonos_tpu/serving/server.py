@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import io
 import json
+import logging
 import threading
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -55,9 +56,13 @@ class ServerState:
     def __init__(self, model, model_name: str = "", **batcher_kwargs):
         self.model = model
         self.model_name = model_name
-        self.batcher = ContinuousBatcher(model, **batcher_kwargs)
+        # one chip: the streaming path, the batcher, and speaker embedding
+        # must not interleave device programs (a batch-8 decode landing in
+        # the middle of a stream stalls its chunk cadence for seconds)
+        self.device_lock = threading.Lock()
+        self.batcher = ContinuousBatcher(model, device_lock=self.device_lock,
+                                         **batcher_kwargs)
         self.speakers: dict[str, np.ndarray] = {}
-        self.device_lock = threading.Lock()  # streaming path vs batcher
 
     def close(self):
         self.batcher.close()
@@ -157,6 +162,8 @@ def make_handler(state: ServerState):
             body = self._json_body()
             req = state.request_from_json(body)
             with state.device_lock:
+                # everything that can fail with a clean 4xx/5xx runs BEFORE
+                # the status line goes out
                 prefix = state.model.prepare_conditioning(req.cond_dict)
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
@@ -168,16 +175,28 @@ def make_handler(state: ServerState):
                 def chunk(data: bytes):
                     self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
-                for piece in state.model.stream_generate(
-                    prefix,
-                    max_new_tokens=req.max_new_tokens,
-                    cfg_scale=req.cfg_scale,
-                    sampling_params=req.sampling,
-                    seed=req.seed,
-                ):
-                    pcm = np.clip(np.asarray(piece, np.float32).reshape(-1), -1, 1)
-                    chunk((pcm * 32767.0).astype("<i2").tobytes())
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    for piece in state.model.stream_generate(
+                        prefix,
+                        max_new_tokens=req.max_new_tokens,
+                        cfg_scale=req.cfg_scale,
+                        sampling_params=req.sampling,
+                        seed=req.seed,
+                    ):
+                        pcm = np.clip(np.asarray(piece, np.float32).reshape(-1), -1, 1)
+                        chunk((pcm * 32767.0).astype("<i2").tobytes())
+                    self.wfile.write(b"0\r\n\r\n")
+                except BrokenPipeError:
+                    self.close_connection = True
+                except Exception:  # noqa: BLE001
+                    # headers are already out: writing a second HTTP
+                    # response into the chunked body would corrupt the
+                    # stream (the client parses the status line as a chunk
+                    # size) — drop the connection so it sees truncation
+                    logging.getLogger("zonos_tpu.serving").exception(
+                        "stream aborted mid-generation"
+                    )
+                    self.close_connection = True
 
         def _register_speaker(self):
             """Body: WAV bytes (Content-Type audio/wav).  Returns a content-
@@ -207,10 +226,16 @@ def make_handler(state: ServerState):
     return Handler
 
 
-def serve(state: ServerState, host: str = "0.0.0.0", port: int = 8600) -> ThreadingHTTPServer:
+def serve(
+    state: ServerState, host: str = "0.0.0.0", port: int = 8600, background: bool = True
+) -> ThreadingHTTPServer:
+    """Build the HTTP server; ``background=True`` also starts serving on a
+    daemon thread (``main()`` reuses this with ``background=False`` and runs
+    ``serve_forever`` in the foreground itself)."""
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
-    thread = threading.Thread(target=httpd.serve_forever, name="tts-http", daemon=True)
-    thread.start()
+    if background:
+        thread = threading.Thread(target=httpd.serve_forever, name="tts-http", daemon=True)
+        thread.start()
     return httpd
 
 
@@ -270,7 +295,7 @@ def main(argv=None) -> None:
         print("warming decode programs ...")
         n = state.batcher.warmup()
         print(f"warmup done: {n} programs compiled")
-    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    httpd = serve(state, args.host, args.port, background=False)
     print(f"serving on http://{args.host}:{args.port}  (POST /v1/tts)")
     try:
         httpd.serve_forever()
