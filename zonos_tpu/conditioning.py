@@ -164,13 +164,30 @@ def prefix_conditioner_forward(
     config: PrefixConditionerConfig,
     inputs: dict,
     eps: float = 1e-5,
+    uncond_drop: dict | None = None,
 ) -> jnp.ndarray:
     """Concat all conditioner outputs on the seq axis -> [B, cond_len, d].
 
     ``inputs[name]`` is an array or None (=> learned uncond vector), matching
     the reference semantics (zonos/conditioning.py:380-389).
+
+    ``uncond_drop[name]`` (training only) is a per-row boolean mask [B]:
+    rows where it is True take the conditioner's learned uncond vector
+    instead of the conditioned output — classifier-free-guidance dropout,
+    which is what trains the uncond vectors CFG inference relies on.  Only
+    valid for conditioners with ``uncond=True`` (those emit one sequence
+    position, so the row-wise select is shape-safe).
     """
-    conds = [conditioner_forward(params[s.name], s, inputs.get(s.name)) for s in specs]
+    conds = []
+    for s in specs:
+        c = conditioner_forward(params[s.name], s, inputs.get(s.name))
+        if uncond_drop is not None and s.name in uncond_drop:
+            if not s.uncond:
+                raise ValueError(f"conditioner {s.name!r} has no uncond vector to drop to")
+            u = params[s.name]["uncond_vector"][None, None, :].astype(c.dtype)
+            mask = uncond_drop[s.name].reshape(-1, 1, 1)
+            c = jnp.where(mask, u, c)
+        conds.append(c)
     max_b = max(c.shape[0] for c in conds)
     conds = [jnp.broadcast_to(c, (max_b, *c.shape[1:])) if c.shape[0] == 1 else c for c in conds]
     x = jnp.concatenate(conds, axis=-2)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from zonos_tpu.conditioning import prefix_conditioner_forward
 from zonos_tpu.config import ZonosConfig
 from zonos_tpu.models.backbone import transformer_forward
 from zonos_tpu.models.tts import embed_codes
@@ -66,6 +67,65 @@ def multicodebook_loss(
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def conditioned_loss(
+    cfg: ZonosConfig,
+    specs,
+    params: dict,
+    cond_inputs: dict,
+    codes: jnp.ndarray,
+    drop_key=None,
+    uncond_p: float = 0.1,
+    remat: bool = False,
+):
+    """End-to-end loss from raw conditioning inputs (loader batches).
+
+    Unlike :func:`multicodebook_loss` (which takes a precomputed prefix),
+    this runs the PrefixConditioner inside the differentiated region, so the
+    conditioner projections, embeddings, and — crucially — the learned
+    *unconditional vectors* train.  ``uncond_p`` is classifier-free-guidance
+    dropout: each conditioner with an uncond vector is independently replaced
+    by it on a ``uncond_p`` fraction of rows (per-row Bernoulli from
+    ``drop_key``), which is what makes CFG inference
+    (``uncond + (cond-uncond)*scale``, ref model.py:112-114) meaningful.
+    Conditioners whose batch input is None always use their uncond vector,
+    matching inference's uncond branch (ref model.py:211-212)."""
+    uncond_drop = None
+    if drop_key is not None and uncond_p > 0.0:
+        names = [s.name for s in specs if s.uncond and cond_inputs.get(s.name) is not None]
+        if names:
+            B = codes.shape[0]
+            keys = jax.random.split(drop_key, len(names))
+            uncond_drop = {
+                n: jax.random.bernoulli(k, uncond_p, (B,))
+                for n, k in zip(names, keys)
+            }
+    cond = prefix_conditioner_forward(
+        params["prefix_conditioner"], specs, cfg.prefix_conditioner, cond_inputs,
+        cfg.backbone.norm_epsilon, uncond_drop,
+    )
+    ref_dtype = jax.tree.leaves(params["heads"])[0].dtype
+    return multicodebook_loss(cfg, params, cond.astype(ref_dtype), codes, remat=remat)
+
+
+def make_conditioned_train_step(
+    cfg: ZonosConfig, specs, optimizer, uncond_p: float = 0.1, remat: bool = False
+):
+    """Jittable step over loader batches: (params, opt_state, cond_inputs,
+    codes, step_key) -> (params, opt_state, loss)."""
+
+    def train_step(params, opt_state, cond_inputs, codes, step_key):
+        loss, grads = jax.value_and_grad(
+            lambda p: conditioned_loss(cfg, specs, p, cond_inputs, codes,
+                                       drop_key=step_key, uncond_p=uncond_p,
+                                       remat=remat)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
 
 
 def make_optimizer(

@@ -47,7 +47,18 @@ def restore_train_state(ckpt_dir: str, params_template: Any, opt_state_template:
         params=ocp.args.StandardRestore(params_template),
         opt_state=ocp.args.StandardRestore(opt_state_template),
     ))
-    return step, restored["params"], restored["opt_state"]
+
+    # Re-place onto the templates' shardings: some orbax versions restore
+    # (replicated) leaves onto the default device only, which then clashes
+    # with mesh-sharded params inside one jitted step.
+    def _replace(x, t):
+        if isinstance(t, jax.Array) and hasattr(t, "sharding"):
+            return jax.device_put(x, t.sharding)
+        return x
+
+    params = jax.tree.map(_replace, restored["params"], params_template)
+    opt_state = jax.tree.map(_replace, restored["opt_state"], opt_state_template)
+    return step, params, opt_state
 
 
 def save_inference_params(path: str, params: Any) -> None:
