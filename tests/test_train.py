@@ -148,3 +148,60 @@ def test_train_matches_inference_contract():
     out = model.generate(prefix, max_new_tokens=T, cfg_scale=1.0, seed=0,
                          sampling_params=SamplingParams.greedy(), progress_bar=False)
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(codes[0]))
+
+
+def test_adafactor_trains_and_state_is_factored():
+    params = _f32_params(TRANS)
+    cond, codes = _batch(TRANS)
+    opt = make_optimizer(lr=1e-3, kind="adafactor")
+    step = jax.jit(make_train_step(TRANS, opt))
+    opt_state = opt.init(params)
+    # memory: well under AdamW's 2x-params moments even on this tiny model
+    # (dims < 128 don't factor; the no-momentum default alone halves it)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    n_state = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(opt_state)
+                  if hasattr(s, "shape"))
+    assert n_state < 1.2 * n_params
+    # factoring proper: a flagship-sized matrix stores O(rows+cols), not O(n)
+    big = {"w": jnp.ones((2048, 5632), jnp.float32)}
+    big_state = make_optimizer(lr=1e-3, kind="adafactor").init(big)
+    n_big = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(big_state)
+                if hasattr(s, "shape"))
+    assert n_big < 0.01 * 2048 * 5632
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, cond, codes)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_conditioned_accumulation_matches_full_batch():
+    """With uncond_p=0 the conditioned step is deterministic, so accumulated
+    micro-batch gradients must reproduce the full-batch step exactly (up to
+    fp32 summation order)."""
+    from zonos_tpu.parallel.train import make_conditioned_train_step
+
+    model = Zonos(TRANS, seed=0)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model.params)
+    rng = np.random.default_rng(3)
+    B, T_ph, T_c = 4, 16, 12
+    cond_inputs = {s.name: None for s in model.specs}
+    cond_inputs["espeak"] = jnp.asarray(rng.integers(4, 60, size=(B, T_ph)), jnp.int32)
+    cond_inputs["speaking_rate"] = jnp.asarray(
+        rng.uniform(5, 30, size=(B, 1, 1)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, 1024, size=(B, TRANS.num_codebooks, T_c)),
+                        jnp.int32)
+    key = jax.random.key(0)
+
+    opt = make_optimizer(lr=1e-3)
+    outs = []
+    for accum in (1, 2):
+        s = jax.jit(make_conditioned_train_step(TRANS, model.specs, opt,
+                                                uncond_p=0.0, accum_steps=accum))
+        p, st, loss = s(params, opt.init(params), cond_inputs, codes, key)
+        outs.append((p, float(loss)))
+    (p1, l1), (p2, l2) = outs
+    assert abs(l1 - l2) < 1e-4
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -64,6 +64,13 @@ def _build_argparser() -> argparse.ArgumentParser:
     tr.add_argument("--warmup", type=int, default=100)
     tr.add_argument("--weight_decay", type=float, default=0.01)
     tr.add_argument("--grad_clip", type=float, default=1.0)
+    tr.add_argument("--optimizer", choices=["adamw", "adafactor"], default="adamw",
+                    help="adafactor's factored second moment (O(rows+cols) "
+                         "per matrix vs AdamW's 2x O(params)) lets the 1.6B "
+                         "flagship train on a single 16 GB chip")
+    tr.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-batches per step "
+                         "(peak activation memory scales with batch/accum)")
     tr.add_argument("--uncond_p", type=float, default=0.1,
                     help="classifier-free-guidance dropout probability per conditioner")
     tr.add_argument("--remat", action="store_true",
@@ -160,9 +167,10 @@ def main(argv: list[str] | None = None) -> None:
 
     optimizer = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
                                warmup_steps=args.warmup, total_steps=args.steps,
-                               grad_clip=args.grad_clip)
+                               grad_clip=args.grad_clip, kind=args.optimizer)
     step_fn = make_conditioned_train_step(cfg, model.specs, optimizer,
-                                          uncond_p=args.uncond_p, remat=args.remat)
+                                          uncond_p=args.uncond_p, remat=args.remat,
+                                          accum_steps=args.accum)
 
     # --- mesh / shardings ------------------------------------------------
     device_put_fn = None

@@ -110,17 +110,57 @@ def conditioned_loss(
 
 
 def make_conditioned_train_step(
-    cfg: ZonosConfig, specs, optimizer, uncond_p: float = 0.1, remat: bool = False
+    cfg: ZonosConfig, specs, optimizer, uncond_p: float = 0.1, remat: bool = False,
+    accum_steps: int = 1,
 ):
     """Jittable step over loader batches: (params, opt_state, cond_inputs,
-    codes, step_key) -> (params, opt_state, loss)."""
+    codes, step_key) -> (params, opt_state, loss).
+
+    ``accum_steps > 1`` accumulates gradients over that many micro-batches
+    with a ``lax.scan`` (same ladder as :func:`make_train_step`): activations
+    exist for one micro-batch at a time, so peak HBM scales with
+    B/accum_steps.  Batch-replicated conditioning inputs (leading dim 1,
+    e.g. a shared speaker embedding) are passed to every micro-batch as-is."""
+
+    def loss_fn(params, cond_inputs, codes, step_key):
+        return conditioned_loss(cfg, specs, params, cond_inputs, codes,
+                                drop_key=step_key, uncond_p=uncond_p, remat=remat)
 
     def train_step(params, opt_state, cond_inputs, codes, step_key):
-        loss, grads = jax.value_and_grad(
-            lambda p: conditioned_loss(cfg, specs, p, cond_inputs, codes,
-                                       drop_key=step_key, uncond_p=uncond_p,
-                                       remat=remat)
-        )(params)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cond_inputs, codes, step_key)
+        else:
+            B = codes.shape[0]
+            if B % accum_steps:
+                raise ValueError(f"batch {B} not divisible by accum_steps {accum_steps}")
+            mb = B // accum_steps
+
+            def split(x):
+                if x is None or x.shape[0] == 1:  # batch-broadcast input
+                    return x
+                return x.reshape(accum_steps, mb, *x.shape[1:])
+
+            cond_mb = {k: split(v) for k, v in cond_inputs.items()}
+            codes_mb = codes.reshape(accum_steps, mb, *codes.shape[1:])
+            keys = jax.random.split(step_key, accum_steps)
+
+            def micro(carry, xs):
+                loss_acc, grads_acc = carry
+                i, k = xs
+                ci = {name: (v if v is None or v.shape[0] == 1 else v[i])
+                      for name, v in cond_mb.items()}
+                loss, grads = jax.value_and_grad(loss_fn)(params, ci, codes_mb[i], k)
+                return (
+                    loss_acc + loss / accum_steps,
+                    jax.tree.map(lambda a, g: a + g / accum_steps, grads_acc, grads),
+                ), None
+
+            zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jnp.float32(0.0), zeros),
+                (jnp.arange(accum_steps), keys))
+            grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -134,9 +174,16 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: int | None = None,
     grad_clip: float | None = 1.0,
+    kind: str = "adamw",
 ):
-    """Global-norm clipping + AdamW; linear warmup into cosine decay when
-    ``total_steps`` is given, constant LR otherwise."""
+    """Global-norm clipping + AdamW/Adafactor; linear warmup into cosine
+    decay when ``total_steps`` is given, constant LR otherwise.
+
+    ``kind="adafactor"`` is the single-chip memory ladder's last rung: its
+    factored second moment stores O(rows+cols) per matrix instead of AdamW's
+    2x O(params) fp32 moments, which is what lets the 1.6B flagship train on
+    one 16 GB chip (moments alone would be 12.8 GB under AdamW).
+    """
     if total_steps is not None:
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=lr,
@@ -150,7 +197,18 @@ def make_optimizer(
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.adamw(schedule, weight_decay=weight_decay))
+    if kind == "adamw":
+        parts.append(optax.adamw(schedule, weight_decay=weight_decay))
+    elif kind == "adafactor":
+        parts.append(optax.adafactor(
+            schedule,
+            # external clipping + schedule; keep adafactor's own scaling off
+            clipping_threshold=None,
+            multiply_by_parameter_scale=False,
+            weight_decay_rate=weight_decay if weight_decay else None,
+        ))
+    else:
+        raise ValueError(f"unknown optimizer kind {kind!r}")
     return optax.chain(*parts)
 
 
