@@ -323,3 +323,30 @@ def test_train_cli_end_to_end(dataset_dir, tmp_path):
         tc.main(common + ["--steps", "4", "--resume"])  # resumes from step 2
     finally:
         tts_mod.Zonos.autoencoder = orig
+
+
+def test_train_cli_validation_split(dataset_dir, tmp_path, caplog):
+    """--val_frac holds out data and reports val_loss at --eval_every."""
+    import logging
+
+    import zonos_tpu.apps.train_cli as tc
+    from zonos_tpu.models import tts as tts_mod
+
+    orig = tts_mod.Zonos.autoencoder
+    dac = _tiny_dac()
+    try:
+        tts_mod.Zonos.autoencoder = property(lambda self: dac)
+        with caplog.at_level(logging.INFO, logger="zonos.train"):
+            tc.main([
+                "--ljspeech", str(dataset_dir), "--tiny", "--batch", "2",
+                "--steps", "2", "--lr", "1e-3", "--warmup", "0",
+                "--cache_dir", str(tmp_path / "cache"),
+                "--phoneme_bucket", "16", "--code_bucket", "8",
+                "--val_frac", "0.25", "--eval_every", "2",
+                "--optimizer", "adafactor", "--accum", "2",
+            ])
+    finally:
+        tts_mod.Zonos.autoencoder = orig
+    assert any("holding out 1 examples" in r.message for r in caplog.records)
+    val_msgs = [r.message for r in caplog.records if "val_loss" in r.message]
+    assert val_msgs and "step 2" in val_msgs[-1]

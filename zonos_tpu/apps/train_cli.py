@@ -78,6 +78,10 @@ def _build_argparser() -> argparse.ArgumentParser:
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--phoneme_bucket", type=int, default=16)
     tr.add_argument("--code_bucket", type=int, default=64)
+    tr.add_argument("--val_frac", type=float, default=0.0,
+                    help="hold out this fraction of examples (deterministic "
+                         "in --seed) and report their loss every --eval_every steps")
+    tr.add_argument("--eval_every", type=int, default=100)
 
     rt = ap.add_argument_group("runtime")
     rt.add_argument("--ckpt_dir", default=None, help="orbax checkpoint directory")
@@ -161,6 +165,17 @@ def main(argv: list[str] | None = None) -> None:
              len(prepared), total_audio_seconds(prepared), cache.encode_calls,
              time.time() - t0)
 
+    val = []
+    if args.val_frac > 0:
+        rng = np.random.default_rng(args.seed)
+        order = rng.permutation(len(prepared))
+        n_val = max(1, int(len(prepared) * args.val_frac))
+        if n_val >= len(prepared):
+            raise SystemExit(f"--val_frac {args.val_frac} leaves no training data")
+        val = [prepared[i] for i in order[:n_val]]
+        prepared = [prepared[i] for i in order[n_val:]]
+        log.info("holding out %d examples for validation", n_val)
+
     dtype = jnp.float32 if args.param_dtype == "float32" else jnp.bfloat16
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype)
                           if jnp.issubdtype(x.dtype, jnp.floating) else x, model.params)
@@ -237,6 +252,25 @@ def main(argv: list[str] | None = None) -> None:
                             seed=args.seed, device_put_fn=device_put_fn,
                             start_step=start_step)
 
+    eval_fn, val_batches = None, []
+    if val:
+        from zonos_tpu.data import iter_epoch_batches
+        from zonos_tpu.parallel.train import make_conditioned_eval_fn
+
+        val_batches = list(iter_epoch_batches(
+            val, model.specs, cfg.masked_token_id, bs, seed=args.seed, epoch=0))
+        if device_put_fn is not None:
+            val_batches = [device_put_fn(b) for b in val_batches]
+        eval_fn = jax.jit(make_conditioned_eval_fn(cfg, model.specs,
+                                                   remat=args.remat))
+
+    def run_eval(params, step):
+        vl = float(np.mean([
+            float(eval_fn(params, b["cond_inputs"], jnp.asarray(b["codes"])))
+            for b in val_batches]))
+        log.info("step %d  val_loss %.4f (%d batches)", step, vl, len(val_batches))
+        return vl
+
     base_key = jax.random.key(args.seed ^ 0x7A0705)
     profile_cm = None
     if args.profile:
@@ -262,6 +296,9 @@ def main(argv: list[str] | None = None) -> None:
                          step + 1, last_loss, frames_seen / dt,
                          frames_seen / dt / FRAME_RATE)
                 frames_seen, t_log = 0, time.time()
+            if eval_fn is not None and ((step + 1) % args.eval_every == 0
+                                        or step + 1 == args.steps):
+                run_eval(params, step + 1)
             if args.ckpt_dir and (step + 1) % args.ckpt_every == 0:
                 from zonos_tpu.utils.train_state import save_train_state
 

@@ -168,6 +168,18 @@ def make_conditioned_train_step(
     return train_step
 
 
+def make_conditioned_eval_fn(cfg: ZonosConfig, specs, remat: bool = False):
+    """Jittable held-out loss over loader batches: (params, cond_inputs,
+    codes) -> scalar.  No CFG dropout — evaluates the conditioned model the
+    way inference's cond branch runs it."""
+
+    def eval_fn(params, cond_inputs, codes):
+        return conditioned_loss(cfg, specs, params, cond_inputs, codes,
+                                drop_key=None, uncond_p=0.0, remat=remat)
+
+    return eval_fn
+
+
 def make_optimizer(
     lr: float = 3e-4,
     weight_decay: float = 0.01,
