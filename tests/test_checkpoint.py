@@ -206,3 +206,69 @@ def test_sharded_checkpoint_load(tmp_path):
         sharded, plain,
     )
     assert all(jax.tree.leaves(same))
+
+
+def _hyb_tiny_cfg():
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 4, "attn_layer_idx": [1, 3],
+         "attn_mlp_d_intermediate": 128,
+         "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16,
+                      "rotary_emb_dim": 8}}
+    )
+    return ZonosConfig.from_dict(d)
+
+
+@pytest.mark.parametrize("which", ["transformer", "hybrid"])
+def test_export_reference_checkpoint_round_trip(tmp_path, which):
+    """Export runtime params to the reference format, reload them through the
+    forward converter, and require bit-identical bf16 weights — the
+    train-here/run-in-the-reference interop path."""
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.utils.checkpoint import (
+        export_state_dict,
+        export_zonos_checkpoint,
+        load_zonos_checkpoint,
+    )
+
+    cfg = _tiny_cfg() if which == "transformer" else _hyb_tiny_cfg()
+    model = Zonos(cfg, seed=5)
+    path = export_zonos_checkpoint(cfg, model.params, tmp_path / "export")
+    assert (tmp_path / "export" / "config.json").exists()
+
+    # config.json round-trips through the reference schema
+    from zonos_tpu.config import ZonosConfig
+
+    cfg2 = ZonosConfig.from_json(str(tmp_path / "export" / "config.json"))
+    assert cfg2.backbone == cfg.backbone
+
+    reloaded = load_zonos_checkpoint(cfg, str(path))
+    sd1 = export_state_dict(cfg, model.params)
+    sd2 = export_state_dict(cfg, reloaded)
+    assert set(sd1) == set(sd2)
+    bf16 = jnp.bfloat16
+    for k in sd1:
+        # the export contract is bf16 (the reference's dtype): fp32 runtime
+        # leaves (e.g. Fourier buffers) round once on export, then round-trip
+        np.testing.assert_array_equal(
+            np.asarray(sd1[k].astype(bf16), np.float32), sd2[k], err_msg=k)
+
+
+def test_exported_checkpoint_loads_into_zonos(tmp_path):
+    """from_local on an exported dir must produce identical generations."""
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.utils.checkpoint import export_zonos_checkpoint
+
+    cfg = _tiny_cfg()
+    model = Zonos(cfg, seed=7)
+    export_zonos_checkpoint(cfg, model.params, tmp_path / "ck")
+    model2 = Zonos.from_local(str(tmp_path / "ck" / "config.json"),
+                              str(tmp_path / "ck" / "model.safetensors"))
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(model2.params)):
+        # export rounds fp32 runtime leaves (Fourier buffers) to bf16 once
+        np.testing.assert_array_equal(
+            np.asarray(jnp.asarray(a).astype(jnp.bfloat16), np.float32),
+            np.asarray(b, np.float32))

@@ -320,9 +320,16 @@ def test_train_cli_end_to_end(dataset_dir, tmp_path):
         ]
         tc.main(common + ["--steps", "2"])
         assert (tmp_path / "ck").exists()
-        tc.main(common + ["--steps", "4", "--resume"])  # resumes from step 2
+        tc.main(common + ["--steps", "4", "--resume",  # resumes from step 2
+                          "--export", str(tmp_path / "ref_ck")])
     finally:
         tts_mod.Zonos.autoencoder = orig
+    assert (tmp_path / "ref_ck" / "model.safetensors").exists()
+    assert (tmp_path / "ref_ck" / "config.json").exists()
+    # the exported checkpoint loads back as a reference-format model
+    m = tts_mod.Zonos.from_local(str(tmp_path / "ref_ck" / "config.json"),
+                                 str(tmp_path / "ref_ck" / "model.safetensors"))
+    assert m.config.backbone.d_model == 64
 
 
 def test_train_cli_validation_split(dataset_dir, tmp_path, caplog):

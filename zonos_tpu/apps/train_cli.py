@@ -85,6 +85,10 @@ def _build_argparser() -> argparse.ArgumentParser:
 
     rt = ap.add_argument_group("runtime")
     rt.add_argument("--ckpt_dir", default=None, help="orbax checkpoint directory")
+    rt.add_argument("--export", default=None, metavar="DIR",
+                    help="after training, write config.json + model.safetensors "
+                         "in the reference's format (loads in the PyTorch "
+                         "reference and via Zonos.from_pretrained)")
     rt.add_argument("--ckpt_every", type=int, default=500)
     rt.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     rt.add_argument("--log_every", type=int, default=10)
@@ -314,6 +318,11 @@ def main(argv: list[str] | None = None) -> None:
         from zonos_tpu.utils.train_state import save_train_state
 
         save_train_state(args.ckpt_dir, args.steps, params, opt_state)
+    if args.export:
+        from zonos_tpu.utils.checkpoint import export_zonos_checkpoint
+
+        path = export_zonos_checkpoint(cfg, params, args.export)
+        log.info("exported reference-format checkpoint: %s", path)
     log.info("done: %d steps, final loss %.4f", args.steps, last_loss)
 
 

@@ -227,11 +227,16 @@ TRANSFORMER_CONFIG_DICT: dict[str, Any] = {
     "masked_token_id": 1025,
 }
 
+# The hybrid checkpoint's exact dims live in its config.json (read at load
+# time and authoritative); this standalone stand-in is sized to the model
+# card's 1.6B class (~1.5B here: 44 Mamba2 layers @ d=2048 ≈ 26M each + 4
+# GQA+SwiGLU attention layers ≈ 61M each + embeddings/heads) so offline
+# benchmarks and random-weight runs exercise flagship-scale compute.
 HYBRID_CONFIG_DICT: dict[str, Any] = {
     "backbone": {
-        "d_model": 1024,
+        "d_model": 2048,
         "d_intermediate": 0,
-        "attn_mlp_d_intermediate": 4096,
+        "attn_mlp_d_intermediate": 8192,
         "n_layer": 48,
         "ssm_cfg": {"layer": "Mamba2"},
         "attn_layer_idx": [11, 23, 35, 47],

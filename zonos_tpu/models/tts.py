@@ -67,10 +67,16 @@ def init_embed_head_params(key, cfg: ZonosConfig, dtype=jnp.bfloat16) -> dict:
     d = cfg.backbone.d_model
     K, Vp = cfg.num_codebooks, cfg.padded_vocab_size
     k1, k2 = jax.random.split(key)
-    return {
-        "embeddings": (jax.random.normal(k1, (K, Vp, d), jnp.float32) * 0.02).astype(dtype),
-        "heads": (jax.random.normal(k2, (d, K * Vp), jnp.float32) / np.sqrt(d)).astype(dtype),
-    }
+    emb = jax.random.normal(k1, (K, Vp, d), jnp.float32) * 0.02
+    heads = jax.random.normal(k2, (d, K * Vp), jnp.float32) / np.sqrt(d)
+    # Zero the TPU-lane vocab padding (rows >= 1026 / head cols >= 1025 per
+    # codebook): those weights are dead (ids never reach them; padded logits
+    # are masked to -inf), and zeroing makes init match checkpoint loads
+    # bit-for-bit (the loader zero-pads), so export -> reload round-trips.
+    emb = emb.at[:, cfg.input_vocab_size:, :].set(0.0)
+    cols = jnp.arange(K * Vp) % Vp >= cfg.output_vocab_size
+    heads = jnp.where(cols[None, :], 0.0, heads)
+    return {"embeddings": emb.astype(dtype), "heads": heads.astype(dtype)}
 
 
 def embed_codes(params: dict, codes: jnp.ndarray) -> jnp.ndarray:

@@ -156,3 +156,157 @@ def load_zonos_checkpoint(
         return jax.device_put(jnp.asarray(np.asarray(x), jnp.bfloat16), NamedSharding(mesh, spec))
 
     return jax.tree.map(place, params, specs)
+
+
+# ---------------------------------------------------------------------------
+# Inverse conversion: runtime pytree -> reference-format checkpoint
+# ---------------------------------------------------------------------------
+
+
+def _t(x, transpose: bool = False) -> np.ndarray:
+    import jax
+
+    a = np.asarray(jax.device_get(x), np.float32)
+    return a.T if transpose else a
+
+
+def export_state_dict(cfg: ZonosConfig, params: dict) -> dict[str, np.ndarray]:
+    """Runtime pytree -> flat dict with the reference's state_dict names.
+
+    Exact inverse of the loaders above: layer stacks are unstacked, linear
+    weights transposed back to torch's ``[out, in]``, and embedding/head
+    vocab un-padded to the reference's 1026/1025 rows (the reference re-pads
+    to %8 itself after load, zonos/model.py:46-51).  Quantized serving
+    params cannot be exported — dequantize/finetune in float first."""
+    if "layers" not in params.get("backbone", {}) and "layers_list" not in params.get("backbone", {}):
+        raise ValueError("params do not look like a runtime pytree (quantized or partial?)")
+    sd: dict[str, np.ndarray] = {}
+    bb = params["backbone"]
+    if cfg.backbone.is_transformer:
+        L = cfg.backbone.n_layer
+        lay = bb["layers"]
+        for i in range(L):
+            pre = f"backbone.layers.{i}."
+            sd[pre + "norm.weight"] = _t(lay["norm1_scale"][i])
+            sd[pre + "norm.bias"] = _t(lay["norm1_bias"][i])
+            sd[pre + "mixer.in_proj.weight"] = _t(lay["wqkv"][i], True)
+            sd[pre + "mixer.out_proj.weight"] = _t(lay["wo"][i], True)
+            sd[pre + "norm2.weight"] = _t(lay["norm2_scale"][i])
+            sd[pre + "norm2.bias"] = _t(lay["norm2_bias"][i])
+            sd[pre + "mlp.fc1.weight"] = _t(lay["w1"][i], True)
+            sd[pre + "mlp.fc2.weight"] = _t(lay["w2"][i], True)
+        sd["backbone.norm_f.weight"] = _t(bb["normf_scale"])
+        sd["backbone.norm_f.bias"] = _t(bb["normf_bias"])
+    else:
+        for i, lp in enumerate(bb["layers_list"]):
+            pre = f"backbone.layers.{i}."
+            sd[pre + "norm.weight"] = _t(lp["norm_scale"])
+            if "norm_bias" in lp:
+                sd[pre + "norm.bias"] = _t(lp["norm_bias"])
+            if "wqkv" in lp:  # attention layer
+                sd[pre + "mixer.in_proj.weight"] = _t(lp["wqkv"], True)
+                sd[pre + "mixer.out_proj.weight"] = _t(lp["wo"], True)
+            else:  # Mamba2 layer
+                sd[pre + "mixer.in_proj.weight"] = _t(lp["in_proj"], True)
+                sd[pre + "mixer.conv1d.weight"] = _t(lp["conv_w"], True)[:, None, :]  # [K,C] -> [C,1,K]
+                sd[pre + "mixer.conv1d.bias"] = _t(lp["conv_b"])
+                sd[pre + "mixer.A_log"] = _t(lp["A_log"])
+                sd[pre + "mixer.D"] = _t(lp["D"])
+                sd[pre + "mixer.dt_bias"] = _t(lp["dt_bias"])
+                sd[pre + "mixer.norm.weight"] = _t(lp["mixer_norm"])
+                sd[pre + "mixer.out_proj.weight"] = _t(lp["out_proj"], True)
+            if "w1" in lp:
+                sd[pre + "norm2.weight"] = _t(lp["norm2_scale"])
+                if "norm2_bias" in lp:
+                    sd[pre + "norm2.bias"] = _t(lp["norm2_bias"])
+                sd[pre + "mlp.fc1.weight"] = _t(lp["w1"], True)
+                sd[pre + "mlp.fc2.weight"] = _t(lp["w2"], True)
+        sd["backbone.norm_f.weight"] = _t(bb["normf_scale"])
+        if "normf_bias" in bb:
+            sd["backbone.norm_f.bias"] = _t(bb["normf_bias"])
+
+    K, Vp, d = cfg.num_codebooks, cfg.padded_vocab_size, cfg.backbone.d_model
+    Vi, Vo = cfg.input_vocab_size, cfg.output_vocab_size
+    emb = _t(params["embeddings"])  # [K, Vp, d]
+    heads = _t(params["heads"])  # [d, K*Vp]
+    for k in range(K):
+        sd[f"embeddings.{k}.weight"] = emb[k, :Vi]
+        sd[f"heads.{k}.weight"] = heads[:, k * Vp : k * Vp + Vo].T
+
+    pc = params["prefix_conditioner"]
+    sd["prefix_conditioner.norm.weight"] = _t(pc["_norm"]["scale"])
+    sd["prefix_conditioner.norm.bias"] = _t(pc["_norm"]["bias"])
+    if pc.get("_project"):
+        sd["prefix_conditioner.project.weight"] = _t(pc["_project"]["w"], True)
+        sd["prefix_conditioner.project.bias"] = _t(pc["_project"]["b"])
+    specs = build_specs(cfg.prefix_conditioner, d)
+    for j, spec in enumerate(specs):
+        pre = f"prefix_conditioner.conditioners.{j}."
+        p = pc[spec.name]
+        proj = p.get("project") or {}
+        if "w" in proj:
+            sd[pre + "project.weight"] = _t(proj["w"], True)
+            sd[pre + "project.bias"] = _t(proj["b"])
+        elif "w1" in proj:
+            sd[pre + "project.0.weight"] = _t(proj["w1"], True)
+            sd[pre + "project.0.bias"] = _t(proj["b1"])
+            sd[pre + "project.2.weight"] = _t(proj["w2"], True)
+            sd[pre + "project.2.bias"] = _t(proj["b2"])
+        if "uncond_vector" in p:
+            sd[pre + "uncond_vector"] = _t(p["uncond_vector"])
+        if spec.type == "Espeak":
+            sd[pre + "phoneme_embedder.weight"] = _t(p["embed"])
+        elif spec.type == "Fourier":
+            sd[pre + "weight"] = _t(p["weight"])
+        elif spec.type == "Integer":
+            sd[pre + "int_embedder.weight"] = _t(p["embed"])
+    return sd
+
+
+def config_to_reference_dict(cfg: ZonosConfig) -> dict:
+    """ZonosConfig -> the reference's config.json schema (zonos/config.py:28-62)."""
+    bb = cfg.backbone
+    return {
+        "backbone": {
+            "d_model": bb.d_model,
+            "d_intermediate": bb.d_intermediate,
+            "attn_mlp_d_intermediate": bb.attn_mlp_d_intermediate,
+            "n_layer": bb.n_layer,
+            "ssm_cfg": dict(bb.ssm_cfg),
+            "attn_layer_idx": list(bb.attn_layer_idx),
+            "attn_cfg": dict(bb.attn_cfg),
+            "rms_norm": bb.rms_norm,
+            "residual_in_fp32": bb.residual_in_fp32,
+            "norm_epsilon": bb.norm_epsilon,
+        },
+        "prefix_conditioner": {
+            "conditioners": [dict(c) for c in cfg.prefix_conditioner.conditioners],
+            "projection": cfg.prefix_conditioner.projection,
+        },
+        "eos_token_id": cfg.eos_token_id,
+        "masked_token_id": cfg.masked_token_id,
+    }
+
+
+def export_zonos_checkpoint(cfg: ZonosConfig, params: dict, out_dir: str,
+                            dtype: str = "bfloat16") -> str:
+    """Write ``config.json`` + ``model.safetensors`` in the reference's
+    format under ``out_dir`` — models trained/finetuned here load directly
+    in the PyTorch reference (and back here via `Zonos.from_pretrained`).
+    Returns the safetensors path."""
+    import json
+    from pathlib import Path
+
+    import torch
+    from safetensors.torch import save_file
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    torch_dtype = {"bfloat16": torch.bfloat16, "float32": torch.float32}[dtype]
+    sd = {k: torch.from_numpy(v).to(torch_dtype).contiguous()
+          for k, v in export_state_dict(cfg, params).items()}
+    path = out / "model.safetensors"
+    save_file(sd, str(path))
+    with open(out / "config.json", "w") as f:
+        json.dump(config_to_reference_dict(cfg), f, indent=2)
+    return str(path)
