@@ -357,3 +357,30 @@ def test_train_cli_validation_split(dataset_dir, tmp_path, caplog):
     assert any("holding out 1 examples" in r.message for r in caplog.records)
     val_msgs = [r.message for r in caplog.records if "val_loss" in r.message]
     assert val_msgs and "step 2" in val_msgs[-1]
+
+
+def test_train_cli_lora(dataset_dir, tmp_path):
+    """LoRA finetune via the CLI: adapters train, resume, merged export loads."""
+    import zonos_tpu.apps.train_cli as tc
+    from zonos_tpu.models import tts as tts_mod
+
+    orig = tts_mod.Zonos.autoencoder
+    dac = _tiny_dac()
+    try:
+        tts_mod.Zonos.autoencoder = property(lambda self: dac)
+        common = [
+            "--ljspeech", str(dataset_dir), "--tiny", "--batch", "2",
+            "--lr", "1e-2", "--warmup", "0", "--log_every", "2",
+            "--cache_dir", str(tmp_path / "cache"),
+            "--ckpt_dir", str(tmp_path / "ck"), "--ckpt_every", "2",
+            "--phoneme_bucket", "16", "--code_bucket", "8",
+            "--lora_rank", "4",
+        ]
+        tc.main(common + ["--steps", "2"])
+        tc.main(common + ["--steps", "4", "--resume",
+                          "--export", str(tmp_path / "merged")])
+        m = tts_mod.Zonos.from_local(str(tmp_path / "merged" / "config.json"),
+                                     str(tmp_path / "merged" / "model.safetensors"))
+        assert m.config.backbone.d_model == 64
+    finally:
+        tts_mod.Zonos.autoencoder = orig

@@ -205,3 +205,55 @@ def test_conditioned_accumulation_matches_full_batch():
     assert abs(l1 - l2) < 1e-4
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_lora_step_trains_only_adapters():
+    from zonos_tpu.parallel.lora import (
+        count_lora_params,
+        init_lora,
+        make_lora_train_step,
+        merge_lora,
+    )
+
+    model = Zonos(TRANS, seed=0)
+    base = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), model.params)
+    rng = np.random.default_rng(3)
+    B, T_ph, T_c = 4, 16, 12
+    cond_inputs = {s.name: None for s in model.specs}
+    cond_inputs["espeak"] = jnp.asarray(rng.integers(4, 60, size=(B, T_ph)), jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 1024, size=(B, TRANS.num_codebooks, T_c)),
+                        jnp.int32)
+
+    adapters = init_lora(jax.random.key(1), base, rank=4)
+    n_base = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(base))
+    assert count_lora_params(adapters) < 0.05 * n_base
+
+    # zero-b init: merged == base exactly
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(merge_lora(base, adapters))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    opt = make_optimizer(lr=1e-2)
+    step = jax.jit(make_lora_train_step(TRANS, model.specs, opt, base,
+                                        uncond_p=0.0))
+    opt_state = opt.init(adapters)
+    losses = []
+    key = jax.random.key(0)
+    for i in range(6):
+        adapters, opt_state, loss = step(adapters, opt_state, cond_inputs, codes,
+                                         jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    # adapters moved; the merged model differs from base only on targets
+    merged = merge_lora(base, adapters)
+    flat_b = jax.tree_util.tree_flatten_with_path(base)[0]
+    flat_m = jax.tree.leaves(merged)
+    changed = {jax.tree_util.keystr(p): not np.array_equal(np.asarray(x), np.asarray(y))
+               for (p, x), y in zip(flat_b, flat_m)}
+    assert all(("wqkv" in k or "wo" in k or "'w1'" in k or "'w2'" in k) == v
+               for k, v in changed.items()), changed
+
+    # merged params export/load through the reference format
+    from zonos_tpu.utils.checkpoint import export_state_dict
+
+    export_state_dict(TRANS, merged)  # shape-compatible, no raise

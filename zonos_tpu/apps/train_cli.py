@@ -64,6 +64,13 @@ def _build_argparser() -> argparse.ArgumentParser:
     tr.add_argument("--warmup", type=int, default=100)
     tr.add_argument("--weight_decay", type=float, default=0.01)
     tr.add_argument("--grad_clip", type=float, default=1.0)
+    tr.add_argument("--lora_rank", type=int, default=0,
+                    help="train rank-r LoRA adapters on the backbone "
+                         "projections instead of full weights (voice/style "
+                         "adaptation; ~0.1%% of params at r=8); --export "
+                         "merges them into reference-format weights")
+    tr.add_argument("--lora_alpha", type=float, default=16.0,
+                    help="LoRA scale: merged W = base + (alpha/r)*A@B")
     tr.add_argument("--optimizer", choices=["adamw", "adafactor"], default="adamw",
                     help="adafactor's factored second moment (O(rows+cols) "
                          "per matrix vs AdamW's 2x O(params)) lets the 1.6B "
@@ -184,12 +191,13 @@ def main(argv: list[str] | None = None) -> None:
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype)
                           if jnp.issubdtype(x.dtype, jnp.floating) else x, model.params)
 
+    lora = args.lora_rank > 0
+    if lora and args.accum > 1:
+        raise SystemExit("--lora_rank does not combine with --accum "
+                         "(adapters are tiny; accumulation buys nothing)")
     optimizer = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
                                warmup_steps=args.warmup, total_steps=args.steps,
                                grad_clip=args.grad_clip, kind=args.optimizer)
-    step_fn = make_conditioned_train_step(cfg, model.specs, optimizer,
-                                          uncond_p=args.uncond_p, remat=args.remat,
-                                          accum_steps=args.accum)
 
     # --- mesh / shardings ------------------------------------------------
     device_put_fn = None
@@ -221,31 +229,57 @@ def main(argv: list[str] | None = None) -> None:
                 "codes": _put(batch["codes"]),
             }
 
-        # Optimizer-state shardings: optax moment leaves mirror a param's
-        # shape/dtype -> reuse that param's sharding; everything else
+    # --- trainable: full params or LoRA adapters over a frozen base -------
+    if lora:
+        from zonos_tpu.parallel.lora import (
+            count_lora_params,
+            init_lora,
+            make_lora_eval_fn,
+            make_lora_train_step,
+        )
+
+        trainable = init_lora(jax.random.key(args.seed ^ 0x10A4),
+                              params, rank=args.lora_rank)
+        log.info("LoRA rank %d: %d adapter params", args.lora_rank,
+                 count_lora_params(trainable))
+        step_fn = make_lora_train_step(cfg, model.specs, optimizer, params,
+                                       alpha=args.lora_alpha,
+                                       uncond_p=args.uncond_p, remat=args.remat)
+    else:
+        trainable = params
+        step_fn = make_conditioned_train_step(cfg, model.specs, optimizer,
+                                              uncond_p=args.uncond_p,
+                                              remat=args.remat,
+                                              accum_steps=args.accum)
+
+    if n_dev > 1:
+        if lora:  # adapters are tiny: replicate them over the mesh
+            trainable = jax.device_put(trainable, NamedSharding(mesh, P()))
+        # Optimizer-state shardings: optax moment leaves mirror a trainable
+        # leaf's shape/dtype -> reuse that leaf's sharding; everything else
         # (schedule counts, clip state) replicates over the mesh.  Without
         # explicit out_shardings, jit places value-independent init outputs
         # on device 0 alone, which then clashes with the sharded params
         # inside the train step.
         by_shape = {}
-        for p in jax.tree.leaves(params):
+        for p in jax.tree.leaves(trainable):
             by_shape.setdefault((p.shape, p.dtype.name), p.sharding)
         rep = NamedSharding(mesh, P())
         opt_shardings = jax.tree.map(
             lambda a: by_shape.get((a.shape, a.dtype.name), rep),
-            jax.eval_shape(optimizer.init, params))
+            jax.eval_shape(optimizer.init, trainable))
 
     step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
-    opt_state = jax.jit(optimizer.init, out_shardings=opt_shardings)(params)
+    opt_state = jax.jit(optimizer.init, out_shardings=opt_shardings)(trainable)
 
     # --- resume ----------------------------------------------------------
     start_step = 0
     if args.ckpt_dir and args.resume:
         from zonos_tpu.utils.train_state import restore_train_state
 
-        restored = restore_train_state(args.ckpt_dir, params, opt_state)
+        restored = restore_train_state(args.ckpt_dir, trainable, opt_state)
         if restored is not None:
-            start_step, params, opt_state = restored
+            start_step, trainable, opt_state = restored
             log.info("resumed from step %d", start_step)
 
     bs = BatchSpec(batch_size=args.batch, phoneme_bucket=args.phoneme_bucket,
@@ -265,12 +299,17 @@ def main(argv: list[str] | None = None) -> None:
             val, model.specs, cfg.masked_token_id, bs, seed=args.seed, epoch=0))
         if device_put_fn is not None:
             val_batches = [device_put_fn(b) for b in val_batches]
-        eval_fn = jax.jit(make_conditioned_eval_fn(cfg, model.specs,
-                                                   remat=args.remat))
+        if lora:
+            eval_fn = jax.jit(make_lora_eval_fn(cfg, model.specs, params,
+                                                alpha=args.lora_alpha,
+                                                remat=args.remat))
+        else:
+            eval_fn = jax.jit(make_conditioned_eval_fn(cfg, model.specs,
+                                                       remat=args.remat))
 
-    def run_eval(params, step):
+    def run_eval(trainable, step):
         vl = float(np.mean([
-            float(eval_fn(params, b["cond_inputs"], jnp.asarray(b["codes"])))
+            float(eval_fn(trainable, b["cond_inputs"], jnp.asarray(b["codes"])))
             for b in val_batches]))
         log.info("step %d  val_loss %.4f (%d batches)", step, vl, len(val_batches))
         return vl
@@ -290,8 +329,8 @@ def main(argv: list[str] | None = None) -> None:
             if step >= args.steps:
                 break
             step_key = jax.random.fold_in(base_key, step)
-            params, opt_state, loss = step_fn(
-                params, opt_state, batch["cond_inputs"], batch["codes"], step_key)
+            trainable, opt_state, loss = step_fn(
+                trainable, opt_state, batch["cond_inputs"], batch["codes"], step_key)
             frames_seen += batch["codes"].shape[0] * batch["codes"].shape[-1]
             if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
                 last_loss = float(loss)  # sync point, amortized over log_every
@@ -302,11 +341,11 @@ def main(argv: list[str] | None = None) -> None:
                 frames_seen, t_log = 0, time.time()
             if eval_fn is not None and ((step + 1) % args.eval_every == 0
                                         or step + 1 == args.steps):
-                run_eval(params, step + 1)
+                run_eval(trainable, step + 1)
             if args.ckpt_dir and (step + 1) % args.ckpt_every == 0:
                 from zonos_tpu.utils.train_state import save_train_state
 
-                save_train_state(args.ckpt_dir, step + 1, params, opt_state)
+                save_train_state(args.ckpt_dir, step + 1, trainable, opt_state)
                 last_ckpt = step + 1
                 log.info("checkpoint @ step %d", step + 1)
     finally:
@@ -317,11 +356,16 @@ def main(argv: list[str] | None = None) -> None:
     if args.ckpt_dir and last_ckpt != args.steps:
         from zonos_tpu.utils.train_state import save_train_state
 
-        save_train_state(args.ckpt_dir, args.steps, params, opt_state)
+        save_train_state(args.ckpt_dir, args.steps, trainable, opt_state)
     if args.export:
         from zonos_tpu.utils.checkpoint import export_zonos_checkpoint
 
-        path = export_zonos_checkpoint(cfg, params, args.export)
+        out_params = params
+        if lora:
+            from zonos_tpu.parallel.lora import merge_lora
+
+            out_params = merge_lora(params, trainable, alpha=args.lora_alpha)
+        path = export_zonos_checkpoint(cfg, out_params, args.export)
         log.info("exported reference-format checkpoint: %s", path)
     log.info("done: %d steps, final loss %.4f", args.steps, last_loss)
 
