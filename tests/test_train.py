@@ -233,14 +233,13 @@ def test_lora_step_trains_only_adapters():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     opt = make_optimizer(lr=1e-2)
-    step = jax.jit(make_lora_train_step(TRANS, model.specs, opt, base,
-                                        uncond_p=0.0))
+    step = jax.jit(make_lora_train_step(TRANS, model.specs, opt, uncond_p=0.0))
     opt_state = opt.init(adapters)
     losses = []
     key = jax.random.key(0)
     for i in range(6):
-        adapters, opt_state, loss = step(adapters, opt_state, cond_inputs, codes,
-                                         jax.random.fold_in(key, i))
+        adapters, opt_state, loss = step(adapters, opt_state, base, cond_inputs,
+                                         codes, jax.random.fold_in(key, i))
         losses.append(float(loss))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 

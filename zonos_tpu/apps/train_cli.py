@@ -242,7 +242,7 @@ def main(argv: list[str] | None = None) -> None:
                               params, rank=args.lora_rank)
         log.info("LoRA rank %d: %d adapter params", args.lora_rank,
                  count_lora_params(trainable))
-        step_fn = make_lora_train_step(cfg, model.specs, optimizer, params,
+        step_fn = make_lora_train_step(cfg, model.specs, optimizer,
                                        alpha=args.lora_alpha,
                                        uncond_p=args.uncond_p, remat=args.remat)
     else:
@@ -270,6 +270,11 @@ def main(argv: list[str] | None = None) -> None:
             jax.eval_shape(optimizer.init, trainable))
 
     step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+    if lora:
+        # bind the frozen base as a jit ARGUMENT (a closure would bake the
+        # full weights into the executable as constants — 2x HBM)
+        _lora_step = step_fn
+        step_fn = lambda t, o, ci, c, k: _lora_step(t, o, params, ci, c, k)  # noqa: E731
     opt_state = jax.jit(optimizer.init, out_shardings=opt_shardings)(trainable)
 
     # --- resume ----------------------------------------------------------
@@ -300,9 +305,10 @@ def main(argv: list[str] | None = None) -> None:
         if device_put_fn is not None:
             val_batches = [device_put_fn(b) for b in val_batches]
         if lora:
-            eval_fn = jax.jit(make_lora_eval_fn(cfg, model.specs, params,
-                                                alpha=args.lora_alpha,
-                                                remat=args.remat))
+            _lora_eval = jax.jit(make_lora_eval_fn(cfg, model.specs,
+                                                   alpha=args.lora_alpha,
+                                                   remat=args.remat))
+            eval_fn = lambda t, ci, c: _lora_eval(t, params, ci, c)  # noqa: E731
         else:
             eval_fn = jax.jit(make_conditioned_eval_fn(cfg, model.specs,
                                                        remat=args.remat))

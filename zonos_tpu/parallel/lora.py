@@ -81,21 +81,25 @@ def count_lora_params(adapters: dict) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(adapters))
 
 
-def make_lora_train_step(cfg: ZonosConfig, specs, optimizer, base_params: dict,
+def make_lora_train_step(cfg: ZonosConfig, specs, optimizer,
                          alpha: float = 16.0, uncond_p: float = 0.1,
                          remat: bool = False):
-    """Jittable LoRA step: (adapters, opt_state, cond_inputs, codes, key) ->
-    (adapters, opt_state, loss).  ``base_params`` is closed over frozen."""
+    """Jittable LoRA step: (adapters, opt_state, base_params, cond_inputs,
+    codes, key) -> (adapters, opt_state, loss).
 
-    def loss_fn(adapters, cond_inputs, codes, step_key):
+    The frozen base is an explicit argument, NOT a closure: a closed-over
+    pytree is baked into the compiled program as multi-GB constants
+    (duplicating the weights in HBM and bloating the executable)."""
+
+    def loss_fn(adapters, base_params, cond_inputs, codes, step_key):
         merged = merge_lora(base_params, adapters, alpha)
         return conditioned_loss(cfg, specs, merged, cond_inputs, codes,
                                 drop_key=step_key, uncond_p=uncond_p,
                                 remat=remat)
 
-    def train_step(adapters, opt_state, cond_inputs, codes, step_key):
+    def train_step(adapters, opt_state, base_params, cond_inputs, codes, step_key):
         loss, grads = jax.value_and_grad(loss_fn)(
-            adapters, cond_inputs, codes, step_key)
+            adapters, base_params, cond_inputs, codes, step_key)
         updates, opt_state = optimizer.update(grads, opt_state, adapters)
         adapters = optax.apply_updates(adapters, updates)
         return adapters, opt_state, loss
@@ -103,9 +107,9 @@ def make_lora_train_step(cfg: ZonosConfig, specs, optimizer, base_params: dict,
     return train_step
 
 
-def make_lora_eval_fn(cfg: ZonosConfig, specs, base_params: dict,
+def make_lora_eval_fn(cfg: ZonosConfig, specs,
                       alpha: float = 16.0, remat: bool = False):
-    def eval_fn(adapters, cond_inputs, codes):
+    def eval_fn(adapters, base_params, cond_inputs, codes):
         merged = merge_lora(base_params, adapters, alpha)
         return conditioned_loss(cfg, specs, merged, cond_inputs, codes,
                                 drop_key=None, uncond_p=0.0, remat=remat)
