@@ -32,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--progress_bar", dest="progress_bar", default=True,
                     action="store_true", help="Show progress bar (default).")
     ap.add_argument("--no_progress_bar", dest="progress_bar", action="store_false")
+    ap.add_argument("--long", action="store_true",
+                    help="long-form mode: split text into duration-budgeted "
+                         "segments with audio-prefix voice continuity "
+                         "(lifts the model's 30 s cap; zonos_tpu/longform.py)")
+    ap.add_argument("--max_segment_seconds", type=float, default=25.0,
+                    help="per-segment duration budget in --long mode")
+    ap.add_argument("--carry_frames", type=int, default=43,
+                    help="codes carried across segment seams in --long mode")
     add_conditioning_args(ap)
     add_sampling_args(ap)
     add_model_args(ap)
@@ -48,6 +56,39 @@ def main(argv: list[str] | None = None) -> None:
         model = load_model(args)
     with timer.phase("speaker"):
         speaker = make_speaker(args, model)
+    if args.long:
+        if args.batch_size != 1:
+            raise SystemExit("--long supports batch_size 1")
+        from zonos_tpu.audio import normalize_loudness
+        from zonos_tpu.audio.io import save_audio
+        from zonos_tpu.longform import synthesize_long
+
+        overrides = dict(
+            emotion=list(args.emotion), fmax=args.fmax, pitch_std=args.pitch_std,
+            speaking_rate=args.speaking_rate, vqscore_8=list(args.vqscore_8),
+            ctc_loss=args.ctc_loss, dnsmos_ovrl=args.dnsmos_ovrl,
+            speaker_noised=args.speaker_noised,
+            unconditional_keys=set(args.unconditional_keys),
+        )
+        print("Generating (long-form)...")
+        with timer.phase("generate"), device_trace(args.profile):
+            wav, seg_codes = synthesize_long(
+                model, args.text, language=args.language, speaker=speaker,
+                cond_overrides=overrides,
+                sampling_params=sampling_params_from_args(args),
+                cfg_scale=args.cfg_scale, seed=args.seed,
+                max_segment_seconds=args.max_segment_seconds,
+                carry_frames=args.carry_frames,
+                max_new_tokens=args.max_new_tokens,
+                progress_bar=args.progress_bar,
+                on_segment=lambda i, n, _w: print(f"segment {i + 1}/{n} done"),
+            )
+        sr = model.autoencoder.sampling_rate
+        save_audio(args.output, normalize_loudness(wav, sr), sr)
+        print(f"wrote {args.output} ({wav.shape[-1] / sr:.1f} s, "
+              f"{len(seg_codes)} segments)")
+        return
+
     prefix = None if args.no_prefix_silence and not args.prefix_audio else prefix_codes(args, model, args.batch_size)
 
     # one text replicated across the batch (generate requires prefix batch
