@@ -54,12 +54,16 @@ def main() -> None:
 
     run(1)  # warm every chunk-shape compile
     arrivals, samples = run(2)
+    if not arrivals:
+        print(json.dumps({"metric": f"ttfa_{arch}_{quant}_chunk{chunk}",
+                          "error": "no chunks emitted (instant EOS)"}))
+        return
     audio_s = samples / 44100.0
     gaps = [b - a for a, b in zip(arrivals, arrivals[1:])]
     result = {
         "metric": f"ttfa_{arch}_{quant}_chunk{chunk}",
         "ttfa_ms": round(arrivals[0] * 1e3, 1),
-        "chunk_audio_ms": round(chunk / 86.0 * 1e3, 1),
+        "chunk_audio_ms": round(chunk / (44100 / 512) * 1e3, 1),
         "steady_gap_ms": round(sorted(gaps)[len(gaps) // 2] * 1e3, 1) if gaps else None,
         "total_audio_s": round(audio_s, 2),
         "total_wall_s": round(arrivals[-1], 2),

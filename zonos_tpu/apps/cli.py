@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> None:
             speaker_noised=args.speaker_noised,
             unconditional_keys=set(args.unconditional_keys),
         )
+        # same prefix-audio semantics as the normal path: user --prefix_audio
+        # or the default 100 ms silence, seeding the FIRST segment
+        init_prefix = (None if args.no_prefix_silence and not args.prefix_audio
+                       else prefix_codes(args, model, 1))
         print("Generating (long-form)...")
         with timer.phase("generate"), device_trace(args.profile):
             wav, seg_codes = synthesize_long(
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> None:
                 max_new_tokens=args.max_new_tokens,
                 progress_bar=args.progress_bar,
                 on_segment=lambda i, n, _w: print(f"segment {i + 1}/{n} done"),
+                initial_prefix_codes=init_prefix,
             )
         sr = model.autoencoder.sampling_rate
         save_audio(args.output, normalize_loudness(wav, sr), sr)

@@ -366,7 +366,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.export:
         from zonos_tpu.utils.checkpoint import export_zonos_checkpoint
 
-        out_params = params
+        # NOT `params`: in full training that name still aliases the initial
+        # arrays, which donate_argnums freed on step 0 (CPU ignores donation,
+        # masking it in tests; on TPU the export would read deleted buffers)
+        out_params = trainable
         if lora:
             from zonos_tpu.parallel.lora import merge_lora
 

@@ -250,9 +250,8 @@ def prepare_examples(
             raise
 
         dur_s = codes.shape[-1] / frame_rate
-        rate = ex.speaking_rate if ex.speaking_rate is not None else min(
-            len(ids) / max(dur_s, 1e-6), 40.0
-        )
+        rate = (ex.speaking_rate if ex.speaking_rate is not None
+                else estimate_speaking_rate(len(ids), dur_s))
         values = {
             "speaking_rate": np.asarray([[rate]], np.float32),
             "language_id": np.asarray([[LANGUAGE_TO_ID[lang]]], np.int32),

@@ -162,8 +162,20 @@ class PrefetchLoader:
         self._err: BaseException | None = None
 
     def _worker(self):
-        step = 0
-        epoch = 0
+        # fast-forward whole epochs by arithmetic: batches-per-epoch is
+        # deterministic (ceil(n_filtered / B) — trailing batch wrapped), so a
+        # resume at a large start_step skips straight to the target epoch
+        # instead of assembling and discarding every earlier batch
+        n = len([p for p in self.prepared
+                 if self.spec_cfg.max_code_len is None
+                 or p.codes.shape[-1] <= self.spec_cfg.max_code_len])
+        per_epoch = -(-n // self.spec_cfg.batch_size) if n else 0
+        if per_epoch and self.start_step >= per_epoch:
+            epoch = self.start_step // per_epoch
+            step = epoch * per_epoch
+        else:
+            step = 0
+            epoch = 0
         try:
             while not self._stop.is_set():
                 produced = False
@@ -192,6 +204,10 @@ class PrefetchLoader:
             self._q.put(None)
 
     def __iter__(self):
+        if self._stop.is_set():
+            raise RuntimeError("PrefetchLoader already stopped — create a "
+                               "new loader (a fresh one also re-seeds "
+                               "deterministically)")
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
         try:

@@ -25,13 +25,13 @@ long text a first-class input:
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Sequence
 
 import numpy as np
 
-FRAME_RATE = 86.1328125  # 44100 / 512
-HOP = 512
+log = logging.getLogger("zonos.longform")
 
 # Common abbreviations that end with '.' but do not end a sentence.
 _ABBREV = {
@@ -138,6 +138,8 @@ def synthesize_long(
     max_new_tokens: int = 86 * 30,
     progress_bar: bool = False,
     on_segment=None,
+    initial_prefix_codes: np.ndarray | None = None,
+    retries: int = 2,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Synthesize arbitrary-length ``text`` -> (waveform float32 [S], per-
     segment codes).  ``cond_overrides`` are extra make_cond_dict kwargs
@@ -147,7 +149,12 @@ def synthesize_long(
     Each segment after the first is generated from the previous segment's
     last ``carry_frames`` codes (audio-prefix continuity) and decoded with
     that prefix attached, trimming its samples — joins carry full vocoder
-    left-context.  Deterministic in ``seed`` (per-segment fold-in)."""
+    left-context.  ``initial_prefix_codes`` ([K, P] or [1, K, P]) seeds the
+    FIRST segment the same way (user prefix audio / leading silence); like
+    `Zonos.generate`, those frames are not part of the output.
+    Deterministic in ``seed`` (per-segment fold-in); a segment that
+    degenerates to instant EOS is retried up to ``retries`` times with a
+    shifted seed before being skipped with a warning."""
     from zonos_tpu.conditioning import make_cond_dict
     from zonos_tpu.text import phonemize
 
@@ -164,24 +171,34 @@ def synthesize_long(
     wavs: list[np.ndarray] = []
     all_codes: list[np.ndarray] = []
     carry: np.ndarray | None = None
+    if initial_prefix_codes is not None:
+        carry = np.asarray(initial_prefix_codes)
+        if carry.ndim == 3:
+            carry = carry[0]
     for i, seg in enumerate(segments):
         cond = make_cond_dict(text=seg, speaker=speaker, language=language,
                               **overrides)
         # bucket the phoneme length so segments of different lengths reuse
         # one compiled decode program (same trick as the SRT pipeline)
         prefix_cond = model.prepare_conditioning(cond, pad_to_multiple=32)
-        codes = model.generate(
-            prefix_cond,
-            audio_prefix_codes=None if carry is None else carry[None, ...],
-            max_new_tokens=max_new_tokens,
-            cfg_scale=cfg_scale,
-            batch_size=1,
-            sampling_params=sampling_params,
-            seed=seed + i,
-            progress_bar=progress_bar,
-        )[0]  # [K, T_new] — generate strips the carried prefix itself
-        codes = np.asarray(codes)
-        if codes.shape[-1] == 0:  # degenerate: instant EOS
+        for attempt in range(retries + 1):
+            codes = model.generate(
+                prefix_cond,
+                audio_prefix_codes=None if carry is None else carry[None, ...],
+                max_new_tokens=max_new_tokens,
+                cfg_scale=cfg_scale,
+                batch_size=1,
+                sampling_params=sampling_params,
+                seed=seed + i + attempt * 7919,
+                progress_bar=progress_bar,
+            )[0]  # [K, T_new] — generate strips the carried prefix itself
+            codes = np.asarray(codes)
+            if codes.shape[-1] > 0:
+                break
+        if codes.shape[-1] == 0:  # degenerate after retries: instant EOS
+            log.warning("segment %d/%d produced no audio after %d attempts; "
+                        "its text is skipped: %.60s...",
+                        i + 1, len(segments), retries + 1, seg)
             carry = None
             continue
         all_codes.append(codes)

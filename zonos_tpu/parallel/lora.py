@@ -50,7 +50,11 @@ def init_lora(key, params: dict, rank: int = 8,
     out = []
     for path, leaf in flat:
         k = next(ks)
-        if _leaf_name(path) in targets and getattr(leaf, "ndim", 0) >= 2:
+        # backbone subtree only: conditioner MLP projections also have
+        # 'w1'/'w2' leaves and must NOT silently grow adapters
+        in_backbone = len(path) > 0 and _leaf_name(path[:1]) == "backbone"
+        if (in_backbone and _leaf_name(path) in targets
+                and getattr(leaf, "ndim", 0) >= 2):
             *batch, fan_in, fan_out = leaf.shape
             a = jax.random.normal(k, (*batch, fan_in, rank), jnp.float32)
             a = a / np.sqrt(fan_in)

@@ -96,9 +96,18 @@ def conditioned_loss(
         names = [s.name for s in specs if s.uncond and cond_inputs.get(s.name) is not None]
         if names:
             B = codes.shape[0]
-            keys = jax.random.split(drop_key, len(names))
+            joint_key, *keys = jax.random.split(drop_key, len(names) + 1)
+            # JOINT drop with probability uncond_p: all droppable
+            # conditioners take their uncond vector together — this is the
+            # exact configuration CFG's uncond branch evaluates at inference
+            # (model.py:211-212 builds the uncond prefix from required keys
+            # only), so it must be trained directly; independent drops alone
+            # would hit it with probability ~p^n.  Additional independent
+            # per-conditioner drops (same rate) train the partial-uncond
+            # rows that user `unconditional_keys` produce in the cond branch.
+            joint = jax.random.bernoulli(joint_key, uncond_p, (B,))
             uncond_drop = {
-                n: jax.random.bernoulli(k, uncond_p, (B,))
+                n: joint | jax.random.bernoulli(k, uncond_p, (B,))
                 for n, k in zip(names, keys)
             }
     cond = prefix_conditioner_forward(
