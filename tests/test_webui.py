@@ -72,3 +72,25 @@ def test_synthesize_roundtrip(server):
     with wave.open(io.BytesIO(resp.read())) as w:
         assert w.getframerate() == 44100
         assert w.getnframes() > 0
+
+
+def test_synthesize_longform(server):
+    body, ctype = _multipart({
+        "model": "tiny",
+        "text": "One short sentence here. Another sentence follows it. "
+                "Then a third one arrives.",
+        "language": "en-us", "longform": "1",
+        "seconds": "0.3", "seed": "3", "linear": "0", "conf": "0",
+        "pitch_std": "45", "speaking_rate": "15", "fmax": "22050",
+        "cfg_scale": "2", "quad": "0", "min_p": "0", "top_p": "0",
+        "top_k": "0", "repetition_penalty": "3",
+        "unconditional_keys": "emotion vqscore_8 dnsmos_ovrl",
+        **{f"emotion_{i}": "0.1" for i in range(8)},
+    })
+    req = urllib.request.Request(server + "/synthesize", data=body,
+                                 headers={"Content-Type": ctype})
+    resp = urllib.request.urlopen(req, timeout=600)
+    assert resp.status == 200
+    with wave.open(io.BytesIO(resp.read())) as w:
+        assert w.getframerate() == 44100
+        assert w.getnframes() > 0

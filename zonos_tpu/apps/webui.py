@@ -106,6 +106,8 @@ input[type=number] { width: 6rem; }
 <label>repetition_penalty</label><input type="number" step="0.1" name="repetition_penalty" value="3"><br>
 <label>cfg_scale</label><input type="number" step="0.1" name="cfg_scale" value="2"><br>
 <label>max seconds</label><input type="number" step="1" name="seconds" value="10"><br>
+<label>long-form</label><input type="checkbox" name="longform" value="1">
+<small>(split long text into segments with voice continuity; lifts the 30 s cap)</small><br>
 <label>seed</label><input type="number" name="seed" value="423">
 <button type="button" onclick="f.seed.value=Math.floor(Math.random()*1e6)">randomize</button>
 </fieldset>
@@ -202,31 +204,53 @@ class Handler(BaseHTTPRequestHandler):
             speaker = _STATE["spk_cache"][key]
 
         emotion = [float(g(f"emotion_{i}", 0.1)) for i in range(8)]
-        cond = make_cond_dict(
-            text=g("text", "Hello"),
-            language=g("language", "en-us"),
-            speaker=speaker,
-            emotion=emotion,
-            fmax=float(g("fmax", 22050)),
-            pitch_std=float(g("pitch_std", 45)),
-            speaking_rate=float(g("speaking_rate", 15)),
-            unconditional_keys=set((g("unconditional_keys", "") or "").split()),
+        sampling = dict(
+            linear=float(g("linear", 0.55)), conf=float(g("conf", 0.4)),
+            quad=float(g("quad", 0)), min_p=float(g("min_p", 0)),
+            top_p=float(g("top_p", 0)), top_k=int(g("top_k", 0)),
+            repetition_penalty=float(g("repetition_penalty", 3.0)),
         )
-        prefix = model.prepare_conditioning(cond)
-        codes = model.generate(
-            prefix,
-            max_new_tokens=int(float(g("seconds", 10)) * 86),
-            cfg_scale=float(g("cfg_scale", 2.0)),
-            sampling_params=dict(
-                linear=float(g("linear", 0.55)), conf=float(g("conf", 0.4)),
-                quad=float(g("quad", 0)), min_p=float(g("min_p", 0)),
-                top_p=float(g("top_p", 0)), top_k=int(g("top_k", 0)),
-                repetition_penalty=float(g("repetition_penalty", 3.0)),
-            ),
-            seed=int(g("seed", 423)),
-        )
-        wavs = model.autoencoder.codes_to_wavs(codes)
-        pcm = (np.clip(wavs[0][0], -1, 1) * 32767).astype(np.int16)
+        uncond_keys = set((g("unconditional_keys", "") or "").split())
+        if g("longform"):
+            from zonos_tpu.longform import synthesize_long
+
+            wav_arr, _ = synthesize_long(
+                model, g("text", "Hello"), language=g("language", "en-us"),
+                speaker=speaker,
+                cond_overrides=dict(
+                    emotion=emotion, fmax=float(g("fmax", 22050)),
+                    pitch_std=float(g("pitch_std", 45)),
+                    speaking_rate=float(g("speaking_rate", 15)),
+                    unconditional_keys=uncond_keys,
+                ),
+                sampling_params=sampling,
+                cfg_scale=float(g("cfg_scale", 2.0)),
+                seed=int(g("seed", 423)),
+            )
+            from zonos_tpu.audio import normalize_loudness
+
+            out_wav = normalize_loudness(wav_arr, model.autoencoder.sampling_rate)
+        else:
+            cond = make_cond_dict(
+                text=g("text", "Hello"),
+                language=g("language", "en-us"),
+                speaker=speaker,
+                emotion=emotion,
+                fmax=float(g("fmax", 22050)),
+                pitch_std=float(g("pitch_std", 45)),
+                speaking_rate=float(g("speaking_rate", 15)),
+                unconditional_keys=uncond_keys,
+            )
+            prefix = model.prepare_conditioning(cond)
+            codes = model.generate(
+                prefix,
+                max_new_tokens=int(float(g("seconds", 10)) * 86),
+                cfg_scale=float(g("cfg_scale", 2.0)),
+                sampling_params=sampling,
+                seed=int(g("seed", 423)),
+            )
+            out_wav = model.autoencoder.codes_to_wavs(codes)[0][0]
+        pcm = (np.clip(out_wav, -1, 1) * 32767).astype(np.int16)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
             w.setnchannels(1)
