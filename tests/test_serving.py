@@ -274,3 +274,37 @@ def test_stats_latency_percentiles(server):
         s = json.loads(r.read())
     if s["completed"]:
         assert "latency_p50_s" in s
+
+
+def test_server_longform(server):
+    base, _ = server
+    body = {"text": "A first sentence for the server. Now a second sentence. "
+                    "And here is the third one.",
+            "long": True, "max_segment_seconds": 1.0, "max_seconds": 0.5,
+            "sampling": {"temperature": 0.0, "linear": 0.0, "conf": 0.0,
+                         "repetition_penalty": 1.0}}
+    with _post_json(base + "/v1/tts", body) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 44100
+        # several segments crossfaded: clearly longer than one 0.5 s cap
+        assert w.getnframes() > int(0.5 * 44100)
+
+
+def test_crossfade_concat():
+    from zonos_tpu.serving.server import _crossfade_concat
+
+    a = np.ones(1000, np.float32)
+    b = np.full(1000, -1.0, np.float32)
+    out = _crossfade_concat([a, b], sr=44100, fade_ms=10.0)
+    n = int(0.010 * 44100)
+    assert out.shape[0] == 2000 - n
+    # seam ramps monotonically from +1 to -1, endpoints intact
+    seam = out[1000 - n : 1000]
+    assert seam[0] <= 1.0 and seam[-1] >= -1.0
+    assert (np.diff(seam) <= 1e-6).all()
+    assert out[0] == 1.0 and out[-1] == -1.0
+    # degenerate: short pieces just concatenate
+    out2 = _crossfade_concat([np.ones(1, np.float32)] * 3, sr=44100)
+    assert out2.shape[0] == 3

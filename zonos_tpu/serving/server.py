@@ -50,6 +50,23 @@ def wav_bytes(wav: np.ndarray, sr: int = 44100) -> bytes:
     return buf.getvalue()
 
 
+def _crossfade_concat(wavs: list, sr: int, fade_ms: float = 20.0):
+    """Concatenate waveforms with a short linear crossfade at each seam."""
+    wavs = [w for w in wavs if w.size]
+    if not wavs:
+        raise RuntimeError("all segments produced no audio")
+    out = wavs[0]
+    for w in wavs[1:]:
+        n = int(min(fade_ms * sr / 1000.0, out.shape[-1] // 2, w.shape[-1] // 2))
+        if n <= 0:
+            out = np.concatenate([out, w])
+            continue
+        ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        seam = out[-n:] * (1.0 - ramp) + w[:n] * ramp
+        out = np.concatenate([out[:-n], seam, w[n:]])
+    return out
+
+
 class ServerState:
     """Model + batcher + speaker store shared across handler threads."""
 
@@ -98,6 +115,37 @@ class ServerState:
             seed=int(body.get("seed", 423)),
             max_new_tokens=frames,
         )
+
+    def synthesize_long(self, body: dict) -> np.ndarray:
+        """``"long": true`` requests: split the text into duration-budgeted
+        segments and submit EACH through the continuous batcher — long jobs
+        interleave with ordinary traffic instead of holding the device.
+        Segments are joined with a short crossfade (the batcher path has no
+        cross-segment audio-prefix carry — per-row prefix lengths don't
+        batch; the CLI/`zonos_tpu.longform` path provides full carry
+        continuity for offline use)."""
+        from zonos_tpu.longform import pack_segments, split_sentences
+        from zonos_tpu.text import phonemize
+
+        text = body.get("text")
+        if not text or not isinstance(text, str):
+            raise ValueError("'text' (non-empty string) is required")
+        language = body.get("language", "en-us")
+        rate = float(body.get("speaking_rate", 15.0))
+        budget = float(body.get("max_segment_seconds", 25.0))
+        sentences = split_sentences(text)
+        ph = phonemize(sentences, [language] * len(sentences))
+        segments = pack_segments(sentences, rate, budget,
+                                 phoneme_counts=[len(p) for p in ph])
+
+        base_seed = int(body.get("seed", 423))
+        wavs = []
+        for i, seg in enumerate(segments):
+            req = self.request_from_json(
+                {**body, "text": seg, "seed": base_seed + i})
+            wavs.append(np.asarray(self.batcher.synthesize(req, timeout=600),
+                                   np.float32).reshape(-1))
+        return _crossfade_concat(wavs, sr=44100, fade_ms=20.0)
 
 
 def make_handler(state: ServerState):
@@ -152,8 +200,12 @@ def make_handler(state: ServerState):
                 self._error(500, f"{type(e).__name__}: {e}")
 
         def _tts(self):
-            req = state.request_from_json(self._json_body())
-            wav = state.batcher.synthesize(req, timeout=600)
+            body = self._json_body()
+            if body.get("long"):
+                wav = state.synthesize_long(body)
+            else:
+                wav = state.batcher.synthesize(state.request_from_json(body),
+                                               timeout=600)
             self._send(200, wav_bytes(wav), "audio/wav")
 
         def _tts_stream(self):
