@@ -5,6 +5,12 @@ and writes sample.wav.
 """
 
 import sys
+from pathlib import Path
+
+# runnable straight from a checkout: python examples/<name>.py
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 
 import numpy as np
 

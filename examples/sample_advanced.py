@@ -1,6 +1,13 @@
 """Advanced sample (parity surface: reference sample_advanced.py): silence
 audio prefix, explicit full conditioning dict, explicit sampling params."""
 
+import sys
+from pathlib import Path
+
+# runnable straight from a checkout: python examples/<name>.py
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 
 from zonos_tpu import Zonos, make_cond_dict

@@ -2,6 +2,13 @@
 tag-filtered average voices from the DB, embedding arithmetic/mixing, and a
 batch of random sentences in the mixed voice."""
 
+import sys
+from pathlib import Path
+
+# runnable straight from a checkout: python examples/<name>.py
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import numpy as np
 
 from zonos_tpu import Zonos, make_cond_dict
