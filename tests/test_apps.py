@@ -201,3 +201,20 @@ def test_espeak_library_env_is_harmless(monkeypatch):
     out = g2p.phonemize(["Hello world"], ["en-us"])
     assert out and out[0]
     g2p._espeak_backend.cache_clear()
+
+
+def test_cli_long_form(tiny_model_dir, tmp_path):
+    from zonos_tpu.apps.cli import main
+
+    out = str(tmp_path / "long.wav")
+    main([
+        "--text", "First sentence here. Second sentence there. Third one now.",
+        "--language", "en-us", "--output", out, "--model", tiny_model_dir,
+        "--long", "--max_segment_seconds", "2", "--carry_frames", "8",
+        "--max_new_tokens", "30", "--no_prefix_silence", "--seed", "5",
+        "--no_progress_bar",
+    ])
+    assert os.path.exists(out)
+    with wave.open(out) as w:
+        assert w.getframerate() == 44100
+        assert w.getnframes() > 0

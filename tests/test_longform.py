@@ -95,3 +95,25 @@ def test_synthesize_long_empty_text_raises():
     model = Zonos(TINY, seed=0)
     with pytest.raises(ValueError):
         synthesize_long(model, "   ")
+
+
+def test_synthesize_long_initial_prefix():
+    """initial_prefix_codes seeds the first segment's generate call and is
+    excluded from the output (generate strips prefixes)."""
+    model = Zonos(TINY, seed=0)
+    calls = []
+    orig = model.generate
+
+    def spy(prefix_cond, **kw):
+        calls.append(kw.get("audio_prefix_codes"))
+        return orig(prefix_cond, **kw)
+
+    model.generate = spy
+    init = np.random.default_rng(0).integers(
+        0, 1024, size=(1, TINY.num_codebooks, 5)).astype(np.int32)
+    wav, seg_codes = synthesize_long(model, "Only one short sentence.",
+                                     max_new_tokens=30, seed=3,
+                                     initial_prefix_codes=init)
+    assert calls[0] is not None and calls[0].shape == (1, TINY.num_codebooks, 5)
+    np.testing.assert_array_equal(np.asarray(calls[0][0]), init[0])
+    assert wav.shape[-1] == sum(c.shape[-1] for c in seg_codes) * 512
