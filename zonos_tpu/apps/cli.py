@@ -89,7 +89,8 @@ def main(argv: list[str] | None = None) -> None:
                 initial_prefix_codes=init_prefix,
             )
         sr = model.autoencoder.sampling_rate
-        save_audio(args.output, normalize_loudness(wav, sr), sr)
+        # same -23 LUFS target as save_codes' post-processing
+        save_audio(args.output, normalize_loudness(wav, sr, target_lufs=-23.0), sr)
         print(f"wrote {args.output} ({wav.shape[-1] / sr:.1f} s, "
               f"{len(seg_codes)} segments)")
         return

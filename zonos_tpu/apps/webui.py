@@ -229,7 +229,10 @@ class Handler(BaseHTTPRequestHandler):
             )
             from zonos_tpu.audio import normalize_loudness
 
-            out_wav = normalize_loudness(wav_arr, model.autoencoder.sampling_rate)
+            # same -23 LUFS target as the non-long path's codes_to_wavs, so
+            # toggling long-form doesn't step the output loudness
+            out_wav = normalize_loudness(wav_arr, model.autoencoder.sampling_rate,
+                                         target_lufs=-23.0)
         else:
             cond = make_cond_dict(
                 text=g("text", "Hello"),

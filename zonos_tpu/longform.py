@@ -124,6 +124,25 @@ def pack_segments(
     return segments
 
 
+def segment_texts(
+    text: str,
+    language: str = "en-us",
+    speaking_rate: float = 15.0,
+    max_segment_seconds: float = 25.0,
+) -> list[str]:
+    """Shared long-form prologue: sentences -> phoneme counts -> packed
+    duration-budgeted segments (used by both the offline path below and the
+    serving layer)."""
+    from zonos_tpu.text import phonemize
+
+    sentences = split_sentences(text)
+    if not sentences:
+        raise ValueError("no text to synthesize")
+    ph = phonemize(sentences, [language] * len(sentences))
+    return pack_segments(sentences, speaking_rate, max_segment_seconds,
+                         phoneme_counts=[len(p) for p in ph])
+
+
 def synthesize_long(
     model,
     text: str,
@@ -156,17 +175,10 @@ def synthesize_long(
     degenerates to instant EOS is retried up to ``retries`` times with a
     shifted seed before being skipped with a warning."""
     from zonos_tpu.conditioning import make_cond_dict
-    from zonos_tpu.text import phonemize
 
     overrides = dict(cond_overrides or {})
     rate = float(overrides.get("speaking_rate", 15.0))
-
-    sentences = split_sentences(text)
-    if not sentences:
-        raise ValueError("no text to synthesize")
-    ph = phonemize(sentences, [language] * len(sentences))
-    segments = pack_segments(sentences, rate, max_segment_seconds,
-                             phoneme_counts=[len(p) for p in ph])
+    segments = segment_texts(text, language, rate, max_segment_seconds)
 
     wavs: list[np.ndarray] = []
     all_codes: list[np.ndarray] = []

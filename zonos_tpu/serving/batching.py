@@ -140,6 +140,11 @@ class TTSRequest:
     cfg_scale: float = 2.0
     seed: int = 423
     max_new_tokens: int = 86 * 30
+    # Skip per-utterance post-processing (loudness / trim_silence /
+    # fade_in_out) and return the raw decoded waveform.  Long-form segment
+    # requests need this: a per-segment ~232 ms log fade-out and silence
+    # trim would land at every seam, and per-segment loudness would step.
+    raw_decode: bool = False
 
     @property
     def key(self) -> BatchKey:
@@ -398,7 +403,12 @@ class ContinuousBatcher:
                     progress_bar=False,
                     step_limits=limits,
                 )
-                wav_lists = [self.model.autoencoder.codes_to_wavs([c]) for c in codes[:B]]
+                wav_lists = [
+                    ([np.asarray(self.model.autoencoder.decode(np.asarray(c)[None, ...])[0])]
+                     if r.raw_decode
+                     else self.model.autoencoder.codes_to_wavs([c]))
+                    for (r, _), c in zip(batch, codes[:B])
+                ]
             gen_s = time.monotonic() - t0
             audio_s = 0.0
             lat = []

@@ -118,34 +118,44 @@ class ServerState:
 
     def synthesize_long(self, body: dict) -> np.ndarray:
         """``"long": true`` requests: split the text into duration-budgeted
-        segments and submit EACH through the continuous batcher — long jobs
-        interleave with ordinary traffic instead of holding the device.
-        Segments are joined with a short crossfade (the batcher path has no
-        cross-segment audio-prefix carry — per-row prefix lengths don't
-        batch; the CLI/`zonos_tpu.longform` path provides full carry
-        continuity for offline use)."""
-        from zonos_tpu.longform import pack_segments, split_sentences
-        from zonos_tpu.text import phonemize
+        segments and submit them ALL to the continuous batcher up front —
+        the request's own segments batch with each other and with other
+        traffic instead of holding the device serially.  Segments decode
+        raw (``raw_decode``: no per-segment trim/fade/loudness, which would
+        land a ~232 ms fade-out at every seam), are joined with a short
+        crossfade, and the loudness target is applied ONCE to the result.
+        (The batcher path has no cross-segment audio-prefix carry — per-row
+        prefix lengths don't batch; the CLI/`zonos_tpu.longform` path
+        provides full carry continuity for offline use.)"""
+        from zonos_tpu.audio import normalize_loudness
+        from zonos_tpu.longform import segment_texts
 
         text = body.get("text")
         if not text or not isinstance(text, str):
             raise ValueError("'text' (non-empty string) is required")
-        language = body.get("language", "en-us")
-        rate = float(body.get("speaking_rate", 15.0))
         budget = float(body.get("max_segment_seconds", 25.0))
-        sentences = split_sentences(text)
-        ph = phonemize(sentences, [language] * len(sentences))
-        segments = pack_segments(sentences, rate, budget,
-                                 phoneme_counts=[len(p) for p in ph])
+        if not 0 < budget <= 29.0:
+            raise ValueError("max_segment_seconds must be in (0, 29] "
+                             "(the model caps one generation at 30 s)")
+        segments = segment_texts(text, body.get("language", "en-us"),
+                                 float(body.get("speaking_rate", 15.0)),
+                                 budget)
 
         base_seed = int(body.get("seed", 423))
-        wavs = []
+        # per-segment frame budget from the SEGMENT cap (+20% slack for the
+        # rate estimate), never the request-level max_seconds — that would
+        # silently cut segments mid-sentence
+        seg_body = {**body, "max_seconds": min(budget * 1.2 + 1.0, 30.0)}
+        pending = []
         for i, seg in enumerate(segments):
             req = self.request_from_json(
-                {**body, "text": seg, "seed": base_seed + i})
-            wavs.append(np.asarray(self.batcher.synthesize(req, timeout=600),
-                                   np.float32).reshape(-1))
-        return _crossfade_concat(wavs, sr=44100, fade_ms=20.0)
+                {**seg_body, "text": seg, "seed": base_seed + i})
+            req.raw_decode = True
+            pending.append(self.batcher.submit(req))
+        wavs = [np.asarray(p.wait(timeout=600), np.float32).reshape(-1)
+                for p in pending]
+        wav = _crossfade_concat(wavs, sr=44100, fade_ms=20.0)
+        return normalize_loudness(wav, 44100, target_lufs=-23.0)
 
 
 def make_handler(state: ServerState):
@@ -212,6 +222,11 @@ def make_handler(state: ServerState):
             """Chunked-transfer raw 16-bit PCM (44.1 kHz mono), emitted while
             the decode loop runs (``Zonos.stream_generate``); batch-1 path."""
             body = self._json_body()
+            if body.get("long"):
+                raise ValueError(
+                    "'long' is not supported on /v1/tts/stream (one "
+                    "generation streams at most 30 s); use /v1/tts with "
+                    "'long': true, or stream per-segment client-side")
             req = state.request_from_json(body)
             with state.device_lock:
                 # everything that can fail with a clean 4xx/5xx runs BEFORE
