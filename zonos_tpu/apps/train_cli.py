@@ -359,7 +359,10 @@ def main(argv: list[str] | None = None) -> None:
         if profile_cm is not None:
             profile_cm.__exit__(None, None, None)
 
-    if args.ckpt_dir and last_ckpt != args.steps:
+    # start_step >= steps means a resumed run that did no work: writing the
+    # restored (later-step) state labeled as args.steps would leave a
+    # mislabeled, regressed-step checkpoint behind
+    if args.ckpt_dir and last_ckpt != args.steps and start_step < args.steps:
         from zonos_tpu.utils.train_state import save_train_state
 
         save_train_state(args.ckpt_dir, args.steps, trainable, opt_state)

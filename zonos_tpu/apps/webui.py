@@ -105,7 +105,8 @@ input[type=number] { width: 6rem; }
 <label>top_k</label><input type="number" step="1" name="top_k" value="0"><br>
 <label>repetition_penalty</label><input type="number" step="0.1" name="repetition_penalty" value="3"><br>
 <label>cfg_scale</label><input type="number" step="0.1" name="cfg_scale" value="2"><br>
-<label>max seconds</label><input type="number" step="1" name="seconds" value="10"><br>
+<label>max seconds</label><input type="number" step="1" name="seconds" value="10">
+<small>(per segment in long-form mode)</small><br>
 <label>long-form</label><input type="checkbox" name="longform" value="1">
 <small>(split long text into segments with voice continuity; lifts the 30 s cap)</small><br>
 <label>seed</label><input type="number" name="seed" value="423">
@@ -226,6 +227,11 @@ class Handler(BaseHTTPRequestHandler):
                 sampling_params=sampling,
                 cfg_scale=float(g("cfg_scale", 2.0)),
                 seed=int(g("seed", 423)),
+                # the UI "max seconds" field bounds each segment (the 30 s
+                # model cap still applies); without this the control was
+                # silently ignored in long-form mode
+                max_segment_seconds=min(25.0, float(g("seconds", 10))),
+                max_new_tokens=int(min(30.0, float(g("seconds", 10))) * 86),
             )
             from zonos_tpu.audio import normalize_loudness
 

@@ -223,18 +223,23 @@ def prepare_examples(
     is used.  ``on_error="skip"`` drops unreadable files instead of raising
     (batch-job resilience, like the reference's per-file try/except —
     srt_generate.py:61-66)."""
-    # Phonemize in one host batch per language (espeak startup amortized).
-    texts = [e.text for e in examples]
-    langs = []
+    # Language validation honors on_error too: one bad manifest row must not
+    # abort a run the caller asked to continue past bad rows.
+    kept: list[tuple[TrainExample, str]] = []
     for e in examples:
         lang = e.language.lower().replace("_", "-")
         if lang not in supported_language_codes:
+            if on_error == "skip":
+                continue
             raise ValueError(f"unsupported language {e.language!r} for {e.audio}")
-        langs.append(lang)
+        kept.append((e, lang))
+    # Phonemize in one host batch per language (espeak startup amortized).
+    texts = [e.text for e, _ in kept]
+    langs = [lang for _, lang in kept]
     phoneme_strs = phonemize(texts, langs)
 
     out: list[PreparedExample] = []
-    for ex, lang, ph in zip(examples, langs, phoneme_strs):
+    for (ex, lang), ph in zip(kept, phoneme_strs):
         try:
             codes = codes_cache.encode_file(ex.audio)
             ids, _ = tokenize_phonemes([ph])

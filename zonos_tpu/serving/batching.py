@@ -403,8 +403,12 @@ class ContinuousBatcher:
                     progress_bar=False,
                     step_limits=limits,
                 )
+                # instant-EOS rows produce zero-length code sequences;
+                # decode(0 frames) returns transposed-conv edge garbage, so
+                # drop them here the same way codes_to_wavs does
                 wav_lists = [
-                    ([np.asarray(self.model.autoencoder.decode(np.asarray(c)[None, ...])[0])]
+                    (([np.asarray(self.model.autoencoder.decode(np.asarray(c)[None, ...])[0])]
+                      if c.shape[-1] > 0 else [])
                      if r.raw_decode
                      else self.model.autoencoder.codes_to_wavs([c]))
                     for (r, _), c in zip(batch, codes[:B])
