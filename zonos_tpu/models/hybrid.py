@@ -26,7 +26,7 @@ from zonos_tpu.config import BackboneConfig
 from zonos_tpu.models.backbone import matmul_w
 from zonos_tpu.ops.attention import decode_attention, prefill_attention, update_kv_cache
 from zonos_tpu.ops.norms import layer_norm, rms_norm
-from zonos_tpu.ops.rope import apply_rope, rope_table
+from zonos_tpu.ops.rope import apply_rope_neox, rope_table
 from zonos_tpu.ops.ssm import (
     causal_conv1d_prefill,
     causal_conv1d_step,
@@ -158,7 +158,11 @@ def grow_hybrid_cache(cache, new_len: int):
 
 def _norm(cfg, x, scale, bias):
     if cfg.rms_norm:
-        return rms_norm(x, scale, cfg.norm_epsilon)
+        # bias is non-None only for the final norm: the reference's norm_f is
+        # an nn.LayerNorm run through layer_norm_fn in RMS mode, which still
+        # adds the bias (zonos/backbone/_mamba_ssm.py:36,50-57); per-block
+        # norms are bias-free RMSNorm modules.
+        return rms_norm(x, scale, cfg.norm_epsilon, bias=bias)
     return layer_norm(x, scale, bias, cfg.norm_epsilon)
 
 
@@ -224,8 +228,11 @@ def _attn_mixer(cfg, lp, x, state, pos, prefill: bool):
         else:
             cos = jax.lax.dynamic_slice_in_dim(cos_t, pos, 1, 0)
             sin = jax.lax.dynamic_slice_in_dim(sin_t, pos, 1, 0)
-        q = jnp.concatenate([apply_rope(q[..., :rot], cos, sin), q[..., rot:]], axis=-1)
-        k = jnp.concatenate([apply_rope(k[..., :rot], cos, sin), k[..., rot:]], axis=-1)
+        # NeoX-style rotate-halves: mamba_ssm MHA's rotary convention
+        # (interleaved=False default) — NOT the transformer backbone's
+        # interleaved pairs.  See ops/rope.py:apply_rope_neox.
+        q = jnp.concatenate([apply_rope_neox(q[..., :rot], cos, sin), q[..., rot:]], axis=-1)
+        k = jnp.concatenate([apply_rope_neox(k[..., :rot], cos, sin), k[..., rot:]], axis=-1)
     offset = jnp.int32(0) if prefill else pos
     k_c, v_c = update_kv_cache(state["k"], state["v"], k, v, offset)
     if prefill:
@@ -236,27 +243,34 @@ def _attn_mixer(cfg, lp, x, state, pos, prefill: bool):
     return y, {"k": k_c, "v": v_c}
 
 
-def _block(cfg, i, lp, x, state, pos, prefill):
-    h = _norm(cfg, x, lp["norm_scale"], lp.get("norm_bias"))
+def _block(cfg, i, lp, x, state, pos, prefill, compute_dtype):
+    h = _norm(cfg, x, lp["norm_scale"], lp.get("norm_bias")).astype(compute_dtype)
     if is_attn_layer(cfg, i):
         y, new_state = _attn_mixer(cfg, lp, h, state, pos, prefill)
     else:
         y, new_state = _mamba_mixer(cfg, lp, h, state, prefill)
-    x = x + y
+    x = x + y.astype(x.dtype)
     if "w1" in lp:
-        h = _norm(cfg, x, lp["norm2_scale"], lp.get("norm2_bias"))
+        h = _norm(cfg, x, lp["norm2_scale"], lp.get("norm2_bias")).astype(compute_dtype)
         u, gate = jnp.split(matmul_w(h, lp["w1"]), 2, axis=-1)
-        x = x + matmul_w(u * jax.nn.silu(gate), lp["w2"])
+        x = x + matmul_w(u * jax.nn.silu(gate), lp["w2"]).astype(x.dtype)
     return x, new_state
 
 
 def _run(cfg, params, x, cache, pos, prefill):
+    # residual_in_fp32 (true for the hybrid checkpoint): the residual stream
+    # accumulates in fp32 while every matmul still runs in the param dtype —
+    # mamba_ssm's fused add-norm contract (create_block residual_in_fp32).
+    # Activations are [B,S,d] — negligible traffic next to the weights.
+    compute_dtype = x.dtype
+    if cfg.residual_in_fp32:
+        x = x.astype(jnp.float32)
     new_cache = []
     for i, (lp, st) in enumerate(zip(params["layers_list"], cache)):
-        x, st2 = _block(cfg, i, lp, x, st, pos, prefill)
+        x, st2 = _block(cfg, i, lp, x, st, pos, prefill, compute_dtype)
         new_cache.append(st2)
     x = _norm(cfg, x, params["normf_scale"], params.get("normf_bias"))
-    return x, tuple(new_cache)
+    return x.astype(compute_dtype), tuple(new_cache)
 
 
 def hybrid_prefill(cfg: BackboneConfig, params: dict, x: jnp.ndarray, cache):

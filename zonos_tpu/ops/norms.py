@@ -22,10 +22,18 @@ def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float
     return y.astype(x.dtype)
 
 
-def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-5,
+             bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``bias`` (additive, applied after scaling) covers mamba_ssm's
+    ``layer_norm_fn(..., bias, is_rms_norm=True)``: the hybrid reference's
+    final norm is an ``nn.LayerNorm`` module run through the triton kernel
+    in RMS mode, so its bias IS applied even though no mean is subtracted
+    (zonos/backbone/_mamba_ssm.py:36,50-57)."""
     xf = x.astype(jnp.float32)
     ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(ms + eps) * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
 
 

@@ -38,3 +38,24 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     oi = xi * cos + xr * sin
     out = jnp.stack([or_, oi], axis=-1).reshape(x.shape)
     return out.astype(x.dtype)
+
+
+def apply_rope_neox(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """GPT-NeoX-style rotation: pair dim ``i`` with dim ``i + D/2`` (rotate
+    halves) instead of adjacent pairs.
+
+    This is the convention of the hybrid backbone's attention layers: the
+    reference builds them from mamba_ssm's MHA, whose RotaryEmbedding
+    defaults to ``interleaved=False`` = NeoX halves (flash-attn rotary;
+    ref surface zonos/backbone/_mamba_ssm.py:16-34 via create_block).
+    The pure-torch transformer backbone uses the interleaved layout
+    (:func:`apply_rope`); the two differ for any trained checkpoint.
+    """
+    D = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., : D // 2]
+    x2 = xf[..., D // 2 :]
+    cos = cos[..., :, None, :]
+    sin = sin[..., :, None, :]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)

@@ -114,9 +114,12 @@ def convert_prefix_conditioner(sd: dict, cfg: ZonosConfig) -> dict:
 
 
 def load_zonos_checkpoint(
-    cfg: ZonosConfig, path: str, init_params: dict | None = None, mesh=None
+    cfg: ZonosConfig, path: str, init_params: dict | None = None, mesh=None,
+    dtype=None,
 ) -> dict:
-    """Convert a reference-format checkpoint into the runtime pytree (bf16).
+    """Convert a reference-format checkpoint into the runtime pytree (bf16,
+    or ``dtype`` — fp32 is used by the oracle parity tests for tight
+    tolerances).
 
     With ``mesh``, every tensor is placed directly under its serving
     ``NamedSharding`` (parallel/sharding.py) as it is converted — each
@@ -126,6 +129,8 @@ def load_zonos_checkpoint(
     import jax
     import jax.numpy as jnp
 
+    if dtype is None:
+        dtype = jnp.bfloat16
     sd = load_safetensors_numpy(path)
     if cfg.backbone.is_transformer:
         backbone = convert_transformer_backbone(sd, cfg)
@@ -142,7 +147,7 @@ def load_zonos_checkpoint(
     if mesh is None:
 
         def cast(x):
-            return jnp.asarray(np.asarray(x), jnp.bfloat16)
+            return jnp.asarray(np.asarray(x), dtype)
 
         return jax.tree.map(cast, params)
 
@@ -153,7 +158,7 @@ def load_zonos_checkpoint(
     specs = zonos_param_specs(params)
 
     def place(x, spec):
-        return jax.device_put(jnp.asarray(np.asarray(x), jnp.bfloat16), NamedSharding(mesh, spec))
+        return jax.device_put(jnp.asarray(np.asarray(x), dtype), NamedSharding(mesh, spec))
 
     return jax.tree.map(place, params, specs)
 
