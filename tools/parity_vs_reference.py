@@ -7,6 +7,9 @@ portable .npz:
 
   Stage A (this framework):
     python tools/parity_vs_reference.py dump --out zonos_tpu_parity.npz
+    # or against local reference-format files (any backbone):
+    python tools/parity_vs_reference.py dump --config config.json \
+        --checkpoint model.safetensors --out zonos_tpu_parity.npz
   Stage B (a machine with the reference installed):
     run the reference's sample.py config with torch.manual_seed(421),
     temperature=0 (greedy), the same text/speaker clip, and save:
@@ -22,8 +25,11 @@ Checked artifacts, in dependency order (so a mismatch localizes the layer):
   4. greedy codes [9,T]           (decode loop + EOS, model.py:224-457)
   5. waveform                     (DAC decode, autoencoder.py:188-245)
 
-Requires the real checkpoints under $ZONOS_TPU_MODELS_DIR (README); exits
-with a clear message otherwise.
+Requires the real checkpoints under $ZONOS_TPU_MODELS_DIR (README) or
+explicit --config/--checkpoint paths; exits with a clear message otherwise.
+The tool's own plumbing is exercised end-to-end against a fake
+reference-keyed checkpoint in tests/test_parity_tool.py, so when real
+weights appear only the files themselves are the missing ingredient.
 """
 
 from __future__ import annotations
@@ -40,42 +46,27 @@ TEXT = "Hello, world! This is a test of the text to speech system."
 LANG = "en-us"
 
 
-def dump(out_path: str, speaker_wav: str | None) -> None:
-    import jax.numpy as jnp
+def _load_model(args):
+    from zonos_tpu.models.tts import Zonos
 
-    from zonos_tpu.conditioning import make_cond_dict
-    from zonos_tpu.models.tts import Zonos, apply_heads, cfg_blend, embed_codes
-    from zonos_tpu.ops.sampling import SamplingParams
-    from zonos_tpu.text import phonemize, tokenize_phonemes
-
+    if args.config:
+        if not os.path.exists(args.config):
+            sys.exit(f"--config not found: {args.config}")
+        if args.checkpoint and not os.path.exists(args.checkpoint):
+            sys.exit(f"--checkpoint not found: {args.checkpoint}")
+        return Zonos.from_local(args.config, args.checkpoint)
     try:
-        model = Zonos.from_pretrained("Zyphra/Zonos-v0.1-transformer")
+        return Zonos.from_pretrained(args.model)
     except FileNotFoundError as e:
         sys.exit(f"real checkpoint required for parity: {e}")
 
-    if speaker_wav:
-        from zonos_tpu.audio.io import load_audio
 
-        wav, sr = load_audio(speaker_wav)
-        speaker = model.make_speaker_embedding(np.asarray(wav), sr)
-    else:
-        speaker = np.zeros((1, 1, 128), np.float32)
+def _first_step_logits(model, prefix, cfg_scale: float) -> np.ndarray:
+    """Prefill-only CFG logits for the first frame, backbone-agnostic
+    (the same dispatch models/tts.py:404-412 uses inside generate)."""
+    import jax.numpy as jnp
 
-    ids, _ = tokenize_phonemes(phonemize([TEXT], [LANG]))
-    cond = make_cond_dict(text=TEXT, speaker=speaker, language=LANG)
-    prefix = model.prepare_conditioning(cond)
-
-    codes = model.generate(
-        prefix,
-        max_new_tokens=86 * 10,
-        sampling_params=SamplingParams.greedy(),
-        seed=421,
-        progress_bar=False,
-    )
-    wavs = model.autoencoder.codes_to_wavs([codes[0]])
-
-    # first-step logits re-derived for the dump (prefill-only, greedy)
-    from zonos_tpu.models.backbone import KVCache, transformer_prefill
+    from zonos_tpu.models.tts import _compute_step_logits, embed_codes
 
     cfg = model.config
     delayed0 = np.full((1, cfg.num_codebooks, 1), cfg.masked_token_id, np.int32)
@@ -83,19 +74,61 @@ def dump(out_path: str, speaker_wav: str | None) -> None:
         [prefix, jnp.tile(embed_codes(model.params, jnp.asarray(delayed0)), (2, 1, 1)).astype(prefix.dtype)],
         axis=1,
     )
-    cache = KVCache.create(cfg.backbone, 2, int(x.shape[1]) + 8)
-    hidden, _ = transformer_prefill(cfg.backbone, model.params["backbone"], x, cache)
-    logits = cfg_blend(apply_heads(model.params, cfg, hidden[:, -1]), jnp.float32(2.0))
+    B2, total = int(x.shape[0]), int(x.shape[1]) + 8
+    if cfg.backbone.is_transformer:
+        from zonos_tpu.models.backbone import KVCache, transformer_prefill
+
+        cache = KVCache.create(cfg.backbone, B2, total)
+        hidden, _ = transformer_prefill(cfg.backbone, model.params["backbone"], x, cache)
+    else:
+        from zonos_tpu.models.hybrid import create_hybrid_cache, hybrid_prefill
+
+        cache = create_hybrid_cache(cfg.backbone, B2, total)
+        hidden, _ = hybrid_prefill(cfg.backbone, model.params["backbone"], x, cache)
+    logits = _compute_step_logits(model.params, cfg, hidden[:, -1], jnp.float32(cfg_scale))
+    return np.asarray(logits[0, :, : cfg.output_vocab_size], np.float32)
+
+
+def dump(args) -> None:
+    from zonos_tpu.conditioning import make_cond_dict
+    from zonos_tpu.ops.sampling import SamplingParams
+    from zonos_tpu.text import phonemize, tokenize_phonemes
+
+    model = _load_model(args)
+
+    if args.speaker_wav:
+        from zonos_tpu.audio.io import load_audio
+
+        wav, sr = load_audio(args.speaker_wav)
+        speaker = model.make_speaker_embedding(np.asarray(wav), sr)
+    else:
+        speaker = np.zeros((1, 1, 128), np.float32)
+
+    ids, _ = tokenize_phonemes(phonemize([args.text], [LANG]))
+    cond = make_cond_dict(text=args.text, speaker=speaker, language=LANG)
+    prefix = model.prepare_conditioning(cond)
+
+    codes = model.generate(
+        prefix,
+        max_new_tokens=args.max_new_tokens,
+        sampling_params=SamplingParams.greedy(),
+        seed=421,
+        progress_bar=False,
+    )
+    wavs = model.autoencoder.codes_to_wavs([codes[0]])
+    wav = wavs[0].reshape(-1) if codes[0].shape[-1] else np.zeros((0,), np.float32)
+
+    logits = _first_step_logits(model, prefix, args.cfg_scale)
 
     np.savez(
-        out_path,
+        args.out,
         phonemes=ids[0],
         prefix=np.asarray(prefix, np.float32),
-        logits=np.asarray(logits[0], np.float32),
+        logits=logits,
         codes=codes[0],
-        wav=wavs[0].reshape(-1),
+        wav=wav,
     )
-    print(f"wrote {out_path}: phonemes {ids.shape}, prefix {prefix.shape}, codes {codes[0].shape}")
+    print(f"wrote {args.out}: phonemes {ids.shape}, prefix {prefix.shape}, codes {codes[0].shape}")
 
 
 def compare(ours_path: str, ref_path: str) -> None:
@@ -126,18 +159,27 @@ def compare(ours_path: str, ref_path: str) -> None:
     sys.exit(1 if failed else 0)
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
     p_dump = sub.add_parser("dump")
     p_dump.add_argument("--out", default="zonos_tpu_parity.npz")
     p_dump.add_argument("--speaker_wav", default=None)
+    p_dump.add_argument("--model", default="Zyphra/Zonos-v0.1-transformer",
+                        help="hub repo id (transformer or hybrid)")
+    p_dump.add_argument("--config", default=None,
+                        help="local reference-format config.json (overrides --model)")
+    p_dump.add_argument("--checkpoint", default=None,
+                        help="local model.safetensors to pair with --config")
+    p_dump.add_argument("--text", default=TEXT)
+    p_dump.add_argument("--max_new_tokens", type=int, default=86 * 10)
+    p_dump.add_argument("--cfg_scale", type=float, default=2.0)
     p_cmp = sub.add_parser("compare")
     p_cmp.add_argument("ours")
     p_cmp.add_argument("ref")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if args.cmd == "dump":
-        dump(args.out, args.speaker_wav)
+        dump(args)
     else:
         compare(args.ours, args.ref)
 
