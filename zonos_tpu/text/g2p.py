@@ -29,7 +29,9 @@ from zonos_tpu.text.normalize import clean
 logger = logging.getLogger("zonos_tpu.text.g2p")
 
 _PHONEMIZE_ESCAPE = re.compile(r"(:phonemize(?:\((.*?)\))?/([^/]+)/)")
-_WORD_RE = re.compile(r"[A-Za-z']+")
+# any Unicode letters (accented Latin included) plus apostrophes — an
+# ASCII-only class split "días" at the í and leaked raw accents downstream
+_WORD_RE = re.compile(r"[^\W\d_]+(?:'[^\W\d_]+)*")
 
 
 # ---------------------------------------------------------------------------
@@ -185,35 +187,75 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
     "es": [
         ("ch", "ʧ"), ("ll", "ʎ"), ("rr", "r"), ("qu", "k"), ("gue", "ɡe"),
         ("gui", "ɡi"), ("ñ", "ɲ"), ("j", "x"), ("z", "θ"), ("v", "b"),
-        ("c", "k"), ("h", ""), ("y", "ʝ"), ("a", "a"), ("e", "e"), ("i", "i"),
-        ("o", "o"), ("u", "u"), ("á", "ˈa"), ("é", "ˈe"), ("í", "ˈi"),
-        ("ó", "ˈo"), ("ú", "ˈu"),
+        ("c", "k"), ("h", ""), ("y", "ʝ"), ("g", "ɡ"), ("a", "a"), ("e", "e"),
+        ("i", "i"), ("o", "o"), ("u", "u"), ("ü", "u"), ("á", "ˈa"),
+        ("é", "ˈe"), ("í", "ˈi"), ("ó", "ˈo"), ("ú", "ˈu"),
     ],
     "de": [
         ("sch", "ʃ"), ("tsch", "ʧ"), ("ch", "ç"), ("ei", "aɪ"), ("ie", "iː"),
         ("eu", "ɔʏ"), ("äu", "ɔʏ"), ("au", "aʊ"), ("st", "ʃt"), ("sp", "ʃp"),
         ("ß", "s"), ("w", "v"), ("v", "f"), ("z", "ts"), ("j", "j"),
-        ("ä", "ɛ"), ("ö", "ø"), ("ü", "y"), ("a", "a"), ("e", "ɛ"),
-        ("i", "ɪ"), ("o", "ɔ"), ("u", "ʊ"), ("qu", "kv"),
+        ("ä", "ɛ"), ("ö", "ø"), ("ü", "y"), ("g", "ɡ"), ("a", "a"),
+        ("e", "ɛ"), ("i", "ɪ"), ("o", "ɔ"), ("u", "ʊ"), ("qu", "kv"),
     ],
     "it": [
         ("gli", "ʎ"), ("gn", "ɲ"), ("sci", "ʃi"), ("sce", "ʃe"), ("ch", "k"),
         ("gh", "ɡ"), ("ci", "ʧi"), ("ce", "ʧe"), ("gi", "ʤi"), ("ge", "ʤe"),
-        ("z", "ts"), ("a", "a"), ("e", "e"), ("i", "i"), ("o", "o"), ("u", "u"),
+        ("qu", "kw"), ("z", "ts"), ("g", "ɡ"), ("c", "k"), ("h", ""),
+        ("a", "a"), ("e", "e"), ("i", "i"),
+        ("o", "o"), ("u", "u"), ("à", "ˈa"), ("è", "ˈɛ"), ("é", "ˈe"),
+        ("ì", "ˈi"), ("ò", "ˈɔ"), ("ù", "ˈu"),
     ],
+    # nasal vowels are rendered vowel+n: the combining tilde (ɔ̃) is not in
+    # the model's symbol table, so ɔn is the closest speakable approximation
     "fr": [
         ("eau", "o"), ("ou", "u"), ("oi", "wa"), ("ch", "ʃ"), ("gn", "ɲ"),
-        ("ai", "ɛ"), ("au", "o"), ("eu", "ø"), ("on", "ɔ̃"), ("an", "ɑ̃"),
-        ("in", "ɛ̃"), ("un", "œ̃"), ("é", "e"), ("è", "ɛ"), ("ê", "ɛ"),
-        ("ç", "s"), ("j", "ʒ"), ("u", "y"), ("e", "ə"), ("a", "a"),
-        ("i", "i"), ("o", "ɔ"), ("qu", "k"), ("h", ""),
+        ("ai", "ɛ"), ("au", "o"), ("eu", "ø"), ("on", "ɔn"), ("an", "ɑn"),
+        ("en", "ɑn"), ("in", "ɛn"), ("un", "œn"), ("é", "e"), ("è", "ɛ"),
+        ("ê", "ɛ"), ("à", "a"), ("â", "ɑ"), ("î", "i"), ("ï", "i"),
+        ("ô", "o"), ("û", "y"), ("ù", "y"), ("œ", "œ"), ("ç", "s"),
+        ("ll", "l"), ("tt", "t"), ("ss", "s"), ("mm", "m"), ("nn", "n"),
+        ("pp", "p"), ("rr", "r"), ("j", "ʒ"), ("g", "ɡ"), ("u", "y"),
+        ("e", "ə"), ("a", "a"), ("i", "i"), ("o", "ɔ"), ("qu", "k"),
+        ("h", ""),
     ],
     "pt": [
-        ("ch", "ʃ"), ("lh", "ʎ"), ("nh", "ɲ"), ("ão", "ɐ̃w"), ("qu", "k"),
-        ("ç", "s"), ("j", "ʒ"), ("x", "ʃ"), ("a", "a"), ("e", "e"),
-        ("i", "i"), ("o", "o"), ("u", "u"),
+        ("ch", "ʃ"), ("lh", "ʎ"), ("nh", "ɲ"), ("ão", "ɐw"), ("õe", "ojn"),
+        ("ã", "ɐn"), ("õ", "on"), ("qu", "k"), ("ç", "s"), ("j", "ʒ"),
+        ("x", "ʃ"), ("ce", "se"), ("ci", "si"), ("c", "k"), ("ss", "s"),
+        ("g", "ɡ"), ("á", "ˈa"), ("é", "ˈɛ"), ("ê", "ˈe"),
+        ("í", "ˈi"), ("ó", "ˈɔ"), ("ô", "ˈo"), ("ú", "ˈu"), ("â", "ˈɐ"),
+        ("a", "a"), ("e", "e"), ("i", "i"), ("o", "o"), ("u", "u"),
     ],
 }
+
+
+# Word-level exceptions for languages whose orthography is only mostly
+# phonemic.  French needs them most: silent final letters and irregular
+# function words dominate everyday text.
+_WORD_LEXICONS: dict[str, dict[str, str]] = {
+    "fr": {
+        "est": "ɛ", "et": "e", "es": "ɛ", "aux": "o", "eux": "ø",
+        "les": "le", "des": "de", "mes": "me", "tes": "te", "ses": "se",
+        "un": "œn", "une": "yn", "je": "ʒə", "vous": "vu", "nous": "nu",
+        "ils": "il", "elles": "ɛl", "tout": "tu", "tous": "tus",
+        "pas": "pa", "plaît": "plɛ", "monsieur": "məsjø", "oui": "wi",
+        "temps": "tɑn", "beaucoup": "boku", "deux": "dø", "trois": "tʁwa",
+    },
+}
+_FR_SILENT_FINALS = "estdxzp"
+
+
+def _word_pre(word: str, lang: str) -> str:
+    """Orthographic word-level adjustments before the grapheme table."""
+    if lang == "fr" and len(word) > 2:
+        if word.endswith("es") and len(word) > 3:
+            word = word[:-2]  # -es plural: both letters silent
+        elif word[-1] in _FR_SILENT_FINALS and word[-1] != word[-2]:
+            word = word[:-1]
+        if word and word[-1] == "e" and len(word) > 2:
+            word = word[:-1]  # silent final e (after a first strip: -tes etc.)
+    return word
 
 
 def _phonemic_word_to_ipa(word: str, table: list[tuple[str, str]]) -> str:
@@ -271,18 +313,28 @@ def _espeak_backend(language: str):
 
 def _builtin_phonemize_segment(text: str, language: str) -> str:
     """Phonemize one free-text segment, preserving punctuation/spacing."""
+    from zonos_tpu.text.scripts import convert_script, guard_unmapped
+
     lang = language.split("-")[0]
+
+    converted = convert_script(text, language)
+    if converted is not None:
+        out = guard_unmapped(converted, text, language)
+        return re.sub(r"\s+", " ", out).strip()
 
     def repl(m: re.Match) -> str:
         word = m.group(0)
         if lang == "en":
             return _english_word_to_ipa(word)
+        lex = _WORD_LEXICONS.get(lang)
+        if lex is not None and word.lower() in lex:
+            return lex[word.lower()]
         table = _PHONEMIC_TABLES.get(lang)
         if table is not None:
-            return _phonemic_word_to_ipa(word, table)
+            return _phonemic_word_to_ipa(_word_pre(word.lower(), lang), table)
         return word  # grapheme fallback: letters are in the symbol table
 
-    out = _WORD_RE.sub(repl, text)
+    out = guard_unmapped(_WORD_RE.sub(repl, text), text, language)
     return re.sub(r"\s+", " ", out).strip()
 
 

@@ -118,8 +118,13 @@ def normalize_jp_text(text: str) -> str:
 def clean(texts: list[str], languages: list[str]) -> list[str]:
     out = []
     for text, language in zip(texts, languages):
-        if "ja" in language:
+        lang = language.split("-")[0]
+        if lang == "ja":
             out.append(normalize_jp_text(text))
+        elif lang in ("cmn", "zh", "yue", "hak"):
+            # digits may be pinyin tone marks (ni3 hao3); leave them for the
+            # zh converter, which strips tones per syllable (text/scripts.py)
+            out.append(text)
         else:
             out.append(normalize_numbers(text))
     return out
