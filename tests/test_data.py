@@ -153,6 +153,27 @@ def test_prepare_examples(prepared):
         assert p.values["language_id"].dtype == np.int32
 
 
+def test_prepare_examples_skips_unphonemizable_row(dataset_dir, tmp_path):
+    """One row whose phonemization raises (Thai script, builtin G2P) must not
+    abort the batch when on_error='skip': the batched fast path falls back to
+    per-row phonemization and only the bad row is dropped."""
+    from zonos_tpu.data import TrainExample
+
+    cache = CodesCache(_tiny_dac(), tmp_path, codec_tag="tiny")
+    wav = str(dataset_dir / "wavs" / "clip0.wav")
+    examples = [
+        TrainExample(audio=wav, text="hello world", language="en-us"),
+        TrainExample(audio=wav, text="สวัสดี", language="th"),  # raises ValueError
+        TrainExample(audio=wav, text="good morning", language="en-us"),
+    ]
+    out = prepare_examples(examples, cache,
+                           frame_rate=TINY_DAC.sampling_rate / 8, on_error="skip")
+    assert len(out) == 2
+    with pytest.raises(ValueError):
+        prepare_examples(examples, cache,
+                         frame_rate=TINY_DAC.sampling_rate / 8, on_error="raise")
+
+
 def test_assemble_batch_padding(prepared):
     model = Zonos(TINY_TTS, seed=0)
     bs = BatchSpec(batch_size=3, phoneme_bucket=16, code_bucket=8)

@@ -75,8 +75,16 @@ def test_fixture_ipa_is_tokenizable():
 
 @pytest.mark.parametrize("lang", LANGS)
 def test_espeak_path_matches_fixtures(lang):
-    """Runs only where espeak-ng is installed: the espeak backend's live
-    output must stay near the recorded fixtures (version drift tolerated)."""
+    """Runs only where espeak-ng is installed AND the fixtures were recorded
+    from a real espeak (``_synthetic: false``): live output must stay near
+    the recorded fixtures (version drift tolerated).  While the fixtures are
+    builder-authored approximations they are not an authority on espeak's
+    output, so the drift test stays disarmed (ADVICE r2)."""
+    if FIXTURES.get("_synthetic", True):
+        pytest.skip(
+            "fixtures are authored, not recorded; run "
+            "tools/record_espeak_fixtures.py on a host with espeak-ng to arm"
+        )
     pytest.importorskip("phonemizer")
     from zonos_tpu.text.g2p import _espeak_backend
 

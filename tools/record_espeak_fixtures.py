@@ -61,6 +61,7 @@ def main() -> None:
         print(f"recorded {lang}: {len(rows)} sentences")
 
     fixtures["_espeak_version"] = version
+    fixtures["_synthetic"] = False  # arms test_espeak_path_matches_fixtures
     fixtures["_provenance"] = (
         "Recorded live from espeak-ng via tools/record_espeak_fixtures.py "
         f"(espeak-ng {version}, phonemizer EspeakBackend, with_stress, "

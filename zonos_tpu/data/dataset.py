@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import csv
 import json
+import logging
 import math
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -38,6 +39,8 @@ import numpy as np
 
 from zonos_tpu.conditioning import LANGUAGE_TO_ID, supported_language_codes
 from zonos_tpu.text import phonemize, tokenize_phonemes
+
+logger = logging.getLogger("zonos_tpu.data")
 
 FRAME_RATE = 86.1328125  # 44100 / 512 — ref model.py:229 uses 86
 
@@ -234,9 +237,26 @@ def prepare_examples(
             raise ValueError(f"unsupported language {e.language!r} for {e.audio}")
         kept.append((e, lang))
     # Phonemize in one host batch per language (espeak startup amortized).
+    # The builtin frontend raises ValueError for uncoverable rows (mislabeled
+    # script, 'cmn' without pypinyin, ...) — with on_error="skip" one bad row
+    # must not abort the batch, so fall back to per-row phonemization and
+    # drop only the rows that raise.
     texts = [e.text for e, _ in kept]
     langs = [lang for _, lang in kept]
-    phoneme_strs = phonemize(texts, langs)
+    try:
+        phoneme_strs = phonemize(texts, langs)
+    except ValueError:
+        if on_error != "skip":
+            raise
+        kept2: list[tuple[TrainExample, str]] = []
+        phoneme_strs = []
+        for (e, lang) in kept:
+            try:
+                phoneme_strs.append(phonemize([e.text], [lang])[0])
+                kept2.append((e, lang))
+            except ValueError:
+                logger.warning("skipping %s: phonemization failed", e.audio)
+        kept = kept2
 
     out: list[PreparedExample] = []
     for (ex, lang), ph in zip(kept, phoneme_strs):

@@ -105,35 +105,92 @@ def init_hybrid_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) 
     return p
 
 
-def _ssm_state_dtype():
-    """SSM decode-state dtype.  fp32 by default (the recurrence accumulates
-    over thousands of steps); ``ZONOS_TPU_SSM_BF16=1`` selects bf16 — at
-    large batch the [B, H, P, N] states are the dominant HBM traffic of
-    hybrid decode (5.9 GB at batch 64 on the flagship, read+written every
-    step), so halving them is a ~2x serving lever on the mamba layers.  The
-    decay dA<1 keeps the recurrence contractive, so bf16 rounding does not
-    compound; outputs stay distribution-close (tests/test_hybrid.py)."""
+def ssm_state_mode(batch: int | None = None) -> str:
+    """SSM decode-state storage mode: ``fp32`` | ``bf16`` | ``f8`` | ``int8``.
+
+    At large batch the [B, H, P, N] states are the dominant HBM traffic of
+    hybrid decode (11.8 GB fp32 at batch 64 on the flagship, read+written
+    every step), so shrinking state bytes is THE serving lever for the mamba
+    layers.  The decay dA<1 keeps the recurrence contractive, so storage
+    rounding does not compound unboundedly (tests/test_hybrid.py measures
+    the drift of each mode).
+
+    - ``fp32``: exact; default at small batch where decode is weight-bound.
+    - ``bf16`` (``ZONOS_TPU_SSM_BF16=1`` legacy knob): half traffic.
+    - ``f8``: float8_e4m3fn rows, no scales — quarter traffic.
+    - ``int8``: int8 rows + per-(batch, head) fp32 scales recomputed at every
+      write from the new state's absmax — quarter traffic plus a negligible
+      [B, H] scale array, finer-grained than f8 when head states are
+      well-ranged.
+
+    ``ZONOS_TPU_SSM_STATE`` overrides; otherwise the default is batch-aware:
+    fp32 below 16 CFG-doubled rows (state traffic is minor next to weights
+    there), else the measured large-batch winner (docs/PERFORMANCE.md)."""
     import os
 
-    return jnp.bfloat16 if os.environ.get("ZONOS_TPU_SSM_BF16") == "1" else jnp.float32
+    mode = os.environ.get("ZONOS_TPU_SSM_STATE")
+    if mode is None and os.environ.get("ZONOS_TPU_SSM_BF16") == "1":
+        mode = "bf16"
+    if mode is None:
+        mode = "f8" if (batch is not None and batch >= 16) else "fp32"
+    if mode not in ("fp32", "bf16", "f8", "int8"):
+        raise ValueError(f"ZONOS_TPU_SSM_STATE={mode!r}: want fp32|bf16|f8|int8")
+    return mode
+
+
+_SSM_STATE_DTYPES = {
+    "fp32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "f8": jnp.float8_e4m3fn,
+    "int8": jnp.int8,
+}
+_F8_MAX = 448.0  # float8_e4m3fn has no inf: out-of-range converts poison to NaN
+
+
+def _load_ssm(state: dict) -> jnp.ndarray:
+    """Stored state -> fp32 [B, H, P, N] (dequantized)."""
+    s = state["ssm"].astype(jnp.float32)
+    if "ssm_scale" in state:
+        s = s * state["ssm_scale"]
+    return s
+
+
+def _store_ssm(ssm_state: jnp.ndarray, state: dict) -> dict:
+    """fp32 new state -> storage entries matching the cache's mode."""
+    dt = state["ssm"].dtype
+    if "ssm_scale" in state:
+        amax = jnp.max(jnp.abs(ssm_state), axis=(2, 3), keepdims=True)
+        scale = jnp.maximum(amax, 1e-20) / 127.0
+        q = jnp.clip(jnp.round(ssm_state / scale), -127, 127).astype(jnp.int8)
+        return {"ssm": q, "ssm_scale": scale}
+    if dt == jnp.float8_e4m3fn:
+        ssm_state = jnp.clip(ssm_state, -_F8_MAX, _F8_MAX)
+    return {"ssm": ssm_state.astype(dt)}
 
 
 def create_hybrid_cache(cfg: BackboneConfig, batch: int, max_seqlen: int, dtype=jnp.bfloat16):
     d, d_inner, H, G, N, K, conv_dim = _dims(cfg)
     aH, aHkv, ahd, _ = _attn_dims(cfg)
-    ssm_dtype = _ssm_state_dtype() if dtype == jnp.bfloat16 else dtype
+    if dtype == jnp.bfloat16:
+        mode = ssm_state_mode(batch)
+    else:  # explicit (test/fp32) dtype: store the state in that dtype exactly
+        mode = {jnp.dtype(jnp.float32): "fp32", jnp.dtype(jnp.bfloat16): "bf16"}.get(
+            jnp.dtype(dtype), "fp32"
+        )
+    ssm_dtype = _SSM_STATE_DTYPES[mode]
     cache = []
     for i in range(cfg.n_layer):
         if is_attn_layer(cfg, i):
             shape = (batch, aHkv, max_seqlen, ahd)
             cache.append({"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
         else:
-            cache.append(
-                {
-                    "conv": jnp.zeros((batch, K - 1, conv_dim), dtype),
-                    "ssm": jnp.zeros((batch, H, cfg.ssm_headdim, N), ssm_dtype),
-                }
-            )
+            st = {
+                "conv": jnp.zeros((batch, K - 1, conv_dim), dtype),
+                "ssm": jnp.zeros((batch, H, cfg.ssm_headdim, N), ssm_dtype),
+            }
+            if mode == "int8":
+                st["ssm_scale"] = jnp.ones((batch, H, 1, 1), jnp.float32)
+            cache.append(st)
     return tuple(cache)
 
 
@@ -194,7 +251,7 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + lp["dt_bias"])  # [B, S, H]
     A = -jnp.exp(lp["A_log"])  # [H]
 
-    ssm_in = None if state.get("ssm") is None else state["ssm"].astype(jnp.float32)
+    ssm_in = None if state.get("ssm") is None else _load_ssm(state)
     if prefill:
         y, ssm_state = ssd_chunked(xs, dt, A, Bm, Cm, lp["D"], init_state=ssm_in)
     else:
@@ -209,7 +266,7 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     out = matmul_w(gated, lp["out_proj"])
     return out, {
         "conv": conv_state.astype(state["conv"].dtype),
-        "ssm": ssm_state.astype(state["ssm"].dtype),
+        **_store_ssm(ssm_state.astype(jnp.float32), state),
     }
 
 
