@@ -500,11 +500,23 @@ class Zonos:
         return jnp.concatenate([cond, uncond], axis=0)
 
     # -- generation ------------------------------------------------------
+    @property
+    def compute_dtype(self):
+        """Serving compute dtype, taken from the loaded parameters: bf16 for
+        production checkpoints (the reference casts the model to bf16,
+        zonos/model.py:79), fp32 when the params were loaded fp32 (parity
+        runs) — the prefix cast and KV/SSM cache storage follow it."""
+        return self.params["embeddings"].dtype
+
     def _get_generate_parts(self, statics: GenerateStatics, cache_len: int | None = None):
         parts = self._generate_cache.get((statics, cache_len))
         if parts is None:
+            dtype = self.compute_dtype
             if self.config.backbone.is_transformer:
-                decode_fn, prefill_fn, cache_fn = None, None, None
+                decode_fn, prefill_fn = None, None
+                cache_fn = lambda batch, seqlen: KVCache.create(
+                    self.config.backbone, batch, seqlen, dtype=dtype
+                )
             else:
                 from zonos_tpu.models.hybrid import (
                     create_hybrid_cache,
@@ -514,7 +526,7 @@ class Zonos:
 
                 decode_fn, prefill_fn = hybrid_decode_step, hybrid_prefill
                 cache_fn = lambda batch, seqlen: create_hybrid_cache(
-                    self.config.backbone, batch, seqlen
+                    self.config.backbone, batch, seqlen, dtype=dtype
                 )
             init, loop = build_generate_parts(
                 self.config, statics, decode_fn, prefill_fn, cache_fn, cache_len=cache_len
@@ -612,7 +624,7 @@ class Zonos:
             key = jax.random.key(seed)
         state = init(
             self.params,
-            jnp.asarray(prefix_conditioning, jnp.bfloat16),
+            jnp.asarray(prefix_conditioning, self.compute_dtype),
             prefix_codes,
             cfg_scale_arr,
             key,
@@ -734,7 +746,7 @@ class Zonos:
             key = jax.random.key(seed)
         state = init(
             self.params,
-            jnp.asarray(prefix_conditioning, jnp.bfloat16),
+            jnp.asarray(prefix_conditioning, self.compute_dtype),
             prefix_codes,
             cfg_scale_arr,
             key,
