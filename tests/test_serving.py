@@ -133,6 +133,124 @@ def test_bad_request_does_not_poison_batch(tiny_model):
         batcher.close()
 
 
+def test_concurrent_streams_share_batch_and_interleave(tiny_model):
+    """Two stream requests arriving in one batch window ride ONE batched
+    decode; their chunk arrivals interleave in wall-clock instead of one
+    stream waiting for the other to finish (the round-2 failure mode)."""
+    import time
+
+    from zonos_tpu.serving import StreamRequest
+
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=500.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        reqs = [
+            StreamRequest(
+                cond_dict=make_cond_dict(text=f"stream number {i}", speaker=_spk(i)),
+                sampling=SamplingParams.greedy(),
+                max_new_tokens=36, chunk_frames=8, margin_frames=8,
+            )
+            for i in range(2)
+        ]
+        handles = [batcher.submit_stream(r) for r in reqs]
+        arrivals: dict[int, list[tuple[float, int]]] = {0: [], 1: []}
+
+        def drain(i):
+            for chunk in handles[i].chunks(timeout=900):
+                arrivals[i].append((time.monotonic(), len(chunk)))
+
+        threads = [threading.Thread(target=drain, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=900)
+        assert all(arrivals[i] for i in range(2))
+        assert all(n > 0 for a in arrivals.values() for _, n in a)
+        # interleaved: each stream got audio before the other finished
+        first = {i: arrivals[i][0][0] for i in range(2)}
+        last = {i: arrivals[i][-1][0] for i in range(2)}
+        assert first[0] < last[1] and first[1] < last[0]
+        s = batcher.snapshot()
+        assert s["streams"] == 2
+        assert s["batches"] == 1, f"streams did not share a batch: {s}"
+        assert "ttfa_p50_s" in s
+    finally:
+        batcher.close()
+
+
+def test_late_stream_interleaves_chunkwise(tiny_model):
+    """A stream arriving AFTER another stream group started must get its
+    first chunk before the earlier stream ends: the device lock is held per
+    decode chunk, not per stream."""
+    import time
+
+    from zonos_tpu.serving import StreamRequest
+
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=50.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        long_req = StreamRequest(
+            cond_dict=make_cond_dict(text="a long running stream", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(),
+            max_new_tokens=64, chunk_frames=8, margin_frames=8)
+        h_long = batcher.submit_stream(long_req)
+        long_times: list[float] = []
+        late_first: list[float] = []
+
+        def drain_long():
+            for _ in h_long.chunks(timeout=900):
+                long_times.append(time.monotonic())
+
+        t = threading.Thread(target=drain_long)
+        t.start()
+        # wait until the long stream is demonstrably mid-flight
+        while not long_times:
+            time.sleep(0.02)
+        late_req = StreamRequest(
+            cond_dict=make_cond_dict(text="late arrival", speaker=_spk(1)),
+            sampling=SamplingParams.greedy(),
+            max_new_tokens=16, chunk_frames=8, margin_frames=8)
+        h_late = batcher.submit_stream(late_req)
+        for _ in h_late.chunks(timeout=900):
+            late_first.append(time.monotonic())
+            break
+        t.join(timeout=900)
+        assert late_first and long_times
+        assert late_first[0] < long_times[-1], (
+            "late stream's first chunk only arrived after the earlier "
+            "stream fully finished — chunk-level interleaving is broken")
+        s = batcher.snapshot()
+        assert s["streams"] == 2 and s["batches"] == 2
+    finally:
+        batcher.close()
+
+
+def test_stream_cancel_frees_batcher(tiny_model):
+    """Cancelling the only stream in a group stops the decode; subsequent
+    requests are served normally."""
+    from zonos_tpu.serving import StreamRequest
+
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=50.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        h = batcher.submit_stream(StreamRequest(
+            cond_dict=make_cond_dict(text="cancel me midway", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(),
+            max_new_tokens=64, chunk_frames=8, margin_frames=8))
+        it = h.chunks(timeout=900)
+        first = next(it)
+        assert first.shape[-1] > 0
+        h.cancel()
+        for _ in it:  # drains to the DONE sentinel without hanging
+            pass
+        w = batcher.synthesize(TTSRequest(
+            cond_dict=make_cond_dict(text="after the cancel", speaker=_spk(1)),
+            sampling=SamplingParams.greedy(), max_new_tokens=18), timeout=900)
+        assert w.ndim == 2 and w.shape[-1] > 0
+    finally:
+        batcher.close()
+
+
 def test_continuous_batcher_groups_by_key(tiny_model):
     """Different sampling params must not share a device batch."""
     batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=300.0,

@@ -42,3 +42,38 @@ def test_stream_rejects_batch(model):
     prefix = jnp.zeros((4, 4, 64), jnp.bfloat16)
     with pytest.raises(ValueError):
         next(model.stream_generate(prefix))
+
+
+def test_stream_batch_matches_full_decode_per_row(model):
+    """3 concurrent streams in ONE decode program, with per-row step_limits
+    so rows finish at different chunks; each row's concatenated stream must
+    equal the non-streaming decode of its own codes sample-for-sample."""
+    B = 3
+    prefix = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2 * B, 4, 64)) * 0.1, jnp.bfloat16
+    )
+    kw = dict(max_new_tokens=48, seed=11, sampling_params=SamplingParams.greedy())
+    limits = [17, 48, 33]
+
+    per_row: dict[int, list[np.ndarray]] = {i: [] for i in range(B)}
+    n_events_per_chunk = []
+    for events in model.stream_generate_batch(
+        prefix, chunk_frames=12, margin_frames=16, batch_size=B,
+        step_limits=limits, **kw
+    ):
+        n_events_per_chunk.append(len(events))
+        for row, chunk in events:
+            per_row[row].append(chunk)
+
+    codes = model.generate(prefix, batch_size=B, progress_bar=False,
+                           step_limits=limits, **kw)
+    for i in range(B):
+        streamed = np.concatenate(per_row[i]) if per_row[i] else np.zeros((0,), np.float32)
+        full = np.asarray(model.autoencoder.decode(codes[i][None]))[0, 0]
+        assert streamed.shape == full.shape, f"row {i}: {streamed.shape} vs {full.shape}"
+        scale = max(np.abs(full).max(), 1e-6)
+        np.testing.assert_allclose(streamed, full, atol=5e-3 * scale,
+                                   err_msg=f"row {i}")
+    # rows really did share chunks: at least one yielded event batch carried
+    # more than one row
+    assert max(n_events_per_chunk) > 1

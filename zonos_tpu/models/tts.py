@@ -717,9 +717,62 @@ class Zonos:
         Not in the reference (its closest feature is the per-step progress
         callback, zonos/model.py:430-432); loudness normalization and fades
         are whole-utterance post-steps and do not apply when streaming.
+
+        Thin wrapper over :meth:`stream_generate_batch` at batch 1.
         """
         if prefix_conditioning.shape[0] != 2:
             raise ValueError("stream_generate supports batch_size=1 only")
+        for events in self.stream_generate_batch(
+            prefix_conditioning,
+            audio_prefix_codes=audio_prefix_codes,
+            max_new_tokens=max_new_tokens,
+            cfg_scale=cfg_scale,
+            sampling_params=sampling_params,
+            seed=seed,
+            chunk_frames=chunk_frames,
+            margin_frames=margin_frames,
+            batch_size=1,
+        ):
+            for _row, chunk in events:
+                yield chunk
+
+    def stream_generate_batch(
+        self,
+        prefix_conditioning: jnp.ndarray,  # [2B, cond_len, d_model]
+        audio_prefix_codes: np.ndarray | None = None,
+        max_new_tokens: int = 86 * 30,
+        cfg_scale: float = 2.0,
+        sampling_params: dict | SamplingParams | None = None,
+        seed: int = 423,
+        chunk_frames: int = 43,
+        margin_frames: int = 32,
+        batch_size: int = 1,
+        step_limits=None,
+    ):
+        """Batched streaming synthesis: N concurrent streams ride ONE decode
+        program (the loop is already batched — only emission is per-row).
+        Yields, per decode chunk, a list of ``(row, waveform_chunk)`` events;
+        rows hit EOS / their ``step_limits`` cap independently and simply
+        stop producing events (per-row EOS semantics identical to
+        ``generate``, zonos/model.py:441-442).
+
+        Emission parity: steady-state chunks are vocoded batched from a
+        window that carries ≥ ``margin_frames`` of *real* code context on
+        both sides, so interiors equal the full decode.  A row's FINAL chunk
+        is vocoded per-row on exactly ``codes[:end]`` — no fake right
+        context — so the concatenation per row is sample-identical to the
+        non-streaming decode of that row's codes (tests/test_streaming.py).
+
+        Every device interaction happens inside ``next()`` on this
+        generator, so a caller can serialize chip access per-chunk (e.g. the
+        serving batcher's ``device_lock``) instead of per-stream —
+        concurrent stream groups interleave at chunk granularity.
+        """
+        if prefix_conditioning.shape[0] != 2 * batch_size:
+            raise ValueError(
+                f"prefix_conditioning rows ({prefix_conditioning.shape[0]}) "
+                f"!= 2*batch_size ({2 * batch_size})"
+            )
         sampling = sampling_params
         if sampling is None:
             sampling = SamplingParams()
@@ -727,9 +780,10 @@ class Zonos:
             sampling = SamplingParams(**sampling)
 
         K = self.config.num_codebooks
+        B = batch_size
         prefix_audio_len = 0 if audio_prefix_codes is None else audio_prefix_codes.shape[2]
         statics = GenerateStatics(
-            batch_size=1,
+            batch_size=B,
             cond_len=int(prefix_conditioning.shape[1]),
             prefix_audio_len=prefix_audio_len,
             max_new_tokens=max_new_tokens,
@@ -737,11 +791,16 @@ class Zonos:
         )
         init, loop = self._get_generate_parts(statics)
         prefix_codes = (
-            jnp.zeros((1, K, 0), jnp.int32)
+            jnp.zeros((B, K, 0), jnp.int32)
             if audio_prefix_codes is None
             else jnp.asarray(audio_prefix_codes, jnp.int32)
         )
         cfg_scale_arr = jnp.float32(cfg_scale)
+        limits_arr = None
+        limits_np = None
+        if step_limits is not None:
+            limits_np = np.broadcast_to(np.asarray(step_limits, np.int64), (B,))
+            limits_arr = jnp.asarray(limits_np, jnp.int32)
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             key = jax.random.key(seed)
         state = init(
@@ -750,36 +809,83 @@ class Zonos:
             prefix_codes,
             cfg_scale_arr,
             key,
+            step_limit=limits_arr,
         )
 
         hop = 512
-        emitted = 0  # frames emitted, relative to prefix_audio_len
+        emitted = np.zeros((B,), np.int64)  # frames emitted, post-prefix
+        ends = np.full((B,), -1, np.int64)  # final length once known
+        row_done = np.zeros((B,), bool)
 
         def finalized_codes():
-            """Codes reverted from the delay buffer, EOS-trimmed."""
+            """[B, K, avail] codes reverted from the delay buffer (final,
+            prefix-sliced, masked ids zeroed) + updated per-row ends."""
             delayed, offset_arr = jax.device_get((state["delayed"], state["offset"]))
-            out = revert_delay_pattern(delayed)
-            offset = int(offset_arr)
-            out = out[0, :, : offset - K]
-            # argmax == 0 (no hit, or hit at frame 0) => full length
-            # (reference semantics, zonos/model.py:441-442)
-            end = int(np.asarray(out[0] == self.eos_token_id).argmax()) or out.shape[1]
+            out = revert_delay_pattern(delayed)[:, :, : int(offset_arr) - K]
+            is_eos = np.asarray(out[:, 0, prefix_audio_len:] == self.eos_token_id)
+            avail_now = is_eos.shape[1]
+            # first chunks can be shorter than the K-deep delay staircase:
+            # nothing reverted yet (argmax would choke on the empty axis)
+            pos = (np.zeros((B,), np.int64) if avail_now == 0
+                   else is_eos.argmax(axis=1))
+            for i in range(B):
+                if ends[i] >= 0:
+                    continue
+                # argmax == 0 (no hit, or hit at frame 0) => full length
+                # (reference semantics, zonos/model.py:441-442) — leave the
+                # end open until the loop itself finishes
+                cand = int(pos[i]) if (is_eos[i].any() and pos[i] > 0) else None
+                if limits_np is not None:
+                    lim = int(limits_np[i])
+                    if cand is None or cand > lim:
+                        # the limit binds; final once codes through it exist
+                        cand = lim if avail_now >= lim else None
+                if cand is not None:
+                    ends[i] = cand
             out = np.where(out >= self.config.codebook_size, 0, out)
-            return out[:, prefix_audio_len:end]
+            return out[:, :, prefix_audio_len:]
 
-        def decode_window(codes, w0, lo, hi):
-            """Decode codes[:, w0:] and return samples for frames [lo, hi)."""
-            wav = np.asarray(self.autoencoder.decode(codes[None, :, w0:]))[0, 0]
-            return wav[(lo - w0) * hop : (hi - w0) * hop]
+        def decode_rows(codes_w):
+            """[R, K, W] window -> [R, samples] float32."""
+            return np.asarray(self.autoencoder.decode(codes_w))[:, 0]
 
         done = False
         while not done:
             state = loop(self.params, state, cfg_scale_arr, jnp.int32(chunk_frames))
             done = int(jnp.max(state["remaining"])) <= 0
             codes = finalized_codes()
-            avail = codes.shape[1]
-            hi = avail if done else max(emitted, avail - margin_frames)
-            if hi > emitted:
-                w0 = max(0, emitted - margin_frames)
-                yield decode_window(codes, w0, emitted, hi)
-                emitted = hi
+            avail = codes.shape[2]
+            if done:
+                for i in range(B):
+                    if ends[i] < 0:
+                        ends[i] = avail if limits_np is None else min(avail, limits_np[i])
+            hi_steady = avail if done else avail - margin_frames
+            events: list[tuple[int, np.ndarray]] = []
+            steady: list[int] = []
+            for i in range(B):
+                if row_done[i]:
+                    continue
+                if ends[i] >= 0:
+                    # end known => every remaining code for this row is final
+                    # (ends is only set once codes through it exist): emit the
+                    # whole remainder, vocoded on the row's exact code length
+                    lo = int(emitted[i])
+                    if ends[i] > lo:
+                        w0 = max(0, lo - margin_frames)
+                        wav = decode_rows(codes[i : i + 1, :, w0 : ends[i]])[0]
+                        events.append((i, wav[(lo - w0) * hop : (ends[i] - w0) * hop]))
+                        emitted[i] = ends[i]
+                    row_done[i] = True
+                elif hi_steady > emitted[i]:
+                    steady.append(i)
+            if steady:
+                w0 = max(0, int(min(emitted[i] for i in steady)) - margin_frames)
+                wavs = decode_rows(codes[steady, :, w0:avail])
+                for j, i in enumerate(steady):
+                    lo = int(emitted[i])
+                    events.append((i, wavs[j, (lo - w0) * hop : (hi_steady - w0) * hop]))
+                    emitted[i] = hi_steady
+            if events:
+                yield events
+            if row_done.all():
+                break

@@ -10,6 +10,8 @@ from zonos_tpu.serving.batching import (
     BatchKey,
     ContinuousBatcher,
     PendingResult,
+    StreamHandle,
+    StreamRequest,
     TTSRequest,
     build_batch_prefix,
 )
@@ -19,6 +21,8 @@ __all__ = [
     "BatchKey",
     "ContinuousBatcher",
     "PendingResult",
+    "StreamHandle",
+    "StreamRequest",
     "TTSRequest",
     "build_batch_prefix",
     "ServerState",

@@ -127,10 +127,16 @@ class BatchKey:
     Duration is NOT part of the key: per-sample frame caps are a traced
     input of the decode program (``Zonos.generate(step_limits=...)``), so a
     5-second and a 25-second request share a batch — the program is sized
-    by a bucketed maximum and each sample is trimmed to its own cap."""
+    by a bucketed maximum and each sample is trimmed to its own cap.
+
+    ``stream`` is ``None`` for whole-utterance requests; streaming requests
+    carry their (chunk_frames, margin_frames) so co-batched streams share
+    one emission cadence — streaming and non-streaming never mix (their
+    device programs are driven differently)."""
 
     sampling: SamplingParams
     cfg_scale: float
+    stream: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -149,6 +155,73 @@ class TTSRequest:
     @property
     def key(self) -> BatchKey:
         return BatchKey(self.sampling, float(self.cfg_scale))
+
+
+@dataclasses.dataclass
+class StreamRequest(TTSRequest):
+    """A request whose audio is delivered incrementally (``StreamHandle``)
+    instead of as one waveform.  Co-submitted streams with the same key ride
+    ONE batched decode program; independently-arriving stream groups
+    interleave at chunk granularity (the batcher takes the device lock per
+    decode chunk, not per stream)."""
+
+    chunk_frames: int = 43  # ~0.5 s of audio per emitted chunk
+    margin_frames: int = 32  # vocoder context on each side of a window
+
+    @property
+    def key(self) -> BatchKey:
+        return BatchKey(self.sampling, float(self.cfg_scale),
+                        (int(self.chunk_frames), int(self.margin_frames)))
+
+
+class StreamHandle:
+    """Consumer side of one streaming request: an iterator of float32
+    waveform chunks (44.1 kHz) plus a cancel signal.
+
+    ``cancel()`` stops delivery immediately; the device batch the stream
+    rides keeps decoding for its co-batched peers (a row cannot leave a
+    compiled batch), but when EVERY stream in the group is cancelled the
+    batcher closes the generator and frees the chip."""
+
+    _DONE = object()
+
+    def __init__(self):
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._cancelled = threading.Event()
+        self._submitted = time.monotonic()
+        self.first_chunk_s: float | None = None  # TTFA, set by the batcher
+
+    def cancel(self):
+        self._cancelled.set()
+
+    def _set(self, wav=None, error=None):
+        """Failure-reporting surface shared with PendingResult (used by the
+        scheduler's per-request validation)."""
+        if error is not None:
+            self._put(error)
+        self._put(self._DONE)
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled.is_set()
+
+    def _put(self, item):
+        self._q.put(item)
+
+    def chunks(self, timeout: float | None = 600.0):
+        """Yield waveform chunks until the stream ends.  Raises the
+        producer's error, if any; raises ``TimeoutError`` when no chunk
+        arrives in ``timeout`` seconds (chip wedged / server shutdown)."""
+        while True:
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError("no stream chunk arrived in time") from None
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 MAX_FRAMES = 86 * 30  # model hard cap (zonos/model.py:229)
@@ -218,7 +291,10 @@ class ContinuousBatcher:
             "max_batch_seen": 0,
             "audio_seconds": 0.0,
             "generate_seconds": 0.0,
+            "streams": 0,
         }
+        self._ttfa: list[float] = []  # stream submit -> first chunk, s (ring)
+        self._stream_threads: list[threading.Thread] = []
         self._thread = threading.Thread(target=self._run, name="tts-batcher", daemon=True)
         self._thread.start()
 
@@ -306,18 +382,35 @@ class ContinuousBatcher:
     def synthesize(self, request: TTSRequest, timeout: float | None = None) -> np.ndarray:
         return self.submit(request).wait(timeout)
 
+    def submit_stream(self, request: StreamRequest) -> StreamHandle:
+        """Submit a streaming request; returns immediately.  Iterate
+        ``handle.chunks()`` for the audio.  Streams arriving inside one
+        batch window share a device batch; separate stream groups (and
+        non-streaming batches) interleave between decode chunks."""
+        handle = StreamHandle()
+        with self._stats_lock:
+            self.stats["requests"] += 1
+        self._q.put((request, handle))
+        return handle
+
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        for t in self._stream_threads:
+            t.join(timeout=5)
 
     def snapshot(self) -> dict:
         with self._stats_lock:
             s = dict(self.stats)
             lat = sorted(self._latencies)
+            ttfa = sorted(self._ttfa)
         s["queue_depth"] = self._q.qsize()
         if lat:
             s["latency_p50_s"] = round(lat[len(lat) // 2], 3)
             s["latency_p95_s"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
+        if ttfa:
+            s["ttfa_p50_s"] = round(ttfa[len(ttfa) // 2], 3)
+            s["ttfa_p95_s"] = round(ttfa[min(len(ttfa) - 1, int(len(ttfa) * 0.95))], 3)
         return s
 
     # -- scheduler loop ------------------------------------------------------
@@ -359,7 +452,7 @@ class ContinuousBatcher:
                 return b
         return self.batch_buckets[-1]
 
-    def _process(self, batch: list, key: BatchKey):
+    def _validate(self, batch: list) -> list:
         # per-request validation first, so one malformed request (bad
         # emotion length, missing required key, multi-text cond) fails only
         # its own submitter instead of poisoning every co-batched request
@@ -378,9 +471,23 @@ class ContinuousBatcher:
                 pending._set(error=e)
                 with self._stats_lock:
                     self.stats["failed"] += 1
-        if not good:
+        return good
+
+    def _process(self, batch: list, key: BatchKey):
+        if key.stream is not None:
+            # a stream group lives as long as its longest stream — running it
+            # on the scheduler thread would queue every later request behind
+            # it.  Each group gets a worker thread; the per-chunk device_lock
+            # is the only serialization, so groups interleave on the chip.
+            self._stream_threads = [t for t in self._stream_threads if t.is_alive()]
+            t = threading.Thread(target=self._process_stream, args=(batch, key),
+                                 name="tts-stream-group", daemon=True)
+            self._stream_threads.append(t)
+            t.start()
             return
-        batch = good
+        batch = self._validate(batch)
+        if not batch:
+            return
         try:
             B = len(batch)
             Bp = self._bucket(B)
@@ -434,3 +541,77 @@ class ContinuousBatcher:
                 pending._set(error=e)
             with self._stats_lock:
                 self.stats["failed"] += len(batch)
+
+    def _process_stream(self, batch: list, key: BatchKey):
+        """Run one group of streaming requests as ONE batched decode.
+
+        The device lock is taken per decode CHUNK (inside the loop), never
+        for the whole stream: a second stream group, or a non-streaming
+        batch, runs its own device work between this group's chunks instead
+        of waiting seconds for the stream to finish — the round-1/round-2
+        whole-stream ``device_lock`` hold is gone.  The cadence cost is
+        bounded by the co-tenant's own chunk size."""
+        batch = self._validate(batch)
+        if not batch:
+            return
+        handles: list[StreamHandle] = [h for _, h in batch]
+        try:
+            B = len(batch)
+            Bp = self._bucket(B)
+            cond_dicts = [r.cond_dict for r, _ in batch]
+            cond_dicts += [cond_dicts[-1]] * (Bp - B)  # pad rows, muted below
+            limits = [int(r.max_new_tokens) for r, _ in batch]
+            limits += [1] * (Bp - B)  # padding rows stop immediately
+            chunk_frames, margin_frames = key.stream
+            t0 = time.monotonic()
+            with self.device_lock:
+                prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
+            gen = self.model.stream_generate_batch(
+                prefix,
+                batch_size=Bp,
+                max_new_tokens=program_frames_bucket(max(limits)),
+                cfg_scale=key.cfg_scale,
+                sampling_params=key.sampling,
+                seed=batch[0][0].seed,  # one PRNG stream per device batch
+                step_limits=limits,
+                chunk_frames=chunk_frames,
+                margin_frames=margin_frames,
+            )
+            audio_s = 0.0
+            try:
+                while True:
+                    if self._stop.is_set() or all(h.cancelled for h in handles):
+                        break  # shutdown / nobody listening: free the chip
+                    with self.device_lock:  # ONE decode chunk + vocode
+                        events = next(gen, None)
+                    if events is None:
+                        break
+                    now = time.monotonic()
+                    for row, wav in events:
+                        if row >= B or handles[row].cancelled:
+                            continue  # padding row / abandoned stream
+                        h = handles[row]
+                        if h.first_chunk_s is None:
+                            h.first_chunk_s = now - h._submitted
+                        audio_s += wav.shape[-1] / 44100.0
+                        h._put(np.asarray(wav, np.float32))
+            finally:
+                gen.close()
+            gen_s = time.monotonic() - t0
+            for h in handles:
+                h._put(StreamHandle._DONE)
+            ttfa = [h.first_chunk_s for h in handles if h.first_chunk_s is not None]
+            with self._stats_lock:
+                self.stats["completed"] += B
+                self.stats["streams"] += B
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], B)
+                self.stats["audio_seconds"] += audio_s
+                self.stats["generate_seconds"] += gen_s
+                self._ttfa = (self._ttfa + ttfa)[-1024:]
+        except BaseException as e:  # noqa: BLE001 — report to all listeners
+            for h in handles:
+                h._put(e)
+                h._put(StreamHandle._DONE)
+            with self._stats_lock:
+                self.stats["failed"] += len(handles)

@@ -32,7 +32,7 @@ import numpy as np
 
 from zonos_tpu.conditioning import make_cond_dict
 from zonos_tpu.ops.sampling import SamplingParams
-from zonos_tpu.serving.batching import ContinuousBatcher, TTSRequest
+from zonos_tpu.serving.batching import ContinuousBatcher, StreamRequest, TTSRequest
 
 MAX_FRAMES = 86 * 30  # model hard cap: 30 s of audio (zonos/model.py:229)
 
@@ -114,6 +114,18 @@ class ServerState:
             cfg_scale=float(body.get("cfg_scale", 2.0)),
             seed=int(body.get("seed", 423)),
             max_new_tokens=frames,
+        )
+
+    def stream_request_from_json(self, body: dict) -> StreamRequest:
+        r = self.request_from_json(body)
+        return StreamRequest(
+            cond_dict=r.cond_dict,
+            sampling=r.sampling,
+            cfg_scale=r.cfg_scale,
+            seed=r.seed,
+            max_new_tokens=r.max_new_tokens,
+            chunk_frames=int(body.get("chunk_frames", 43)),
+            margin_frames=int(body.get("margin_frames", 32)),
         )
 
     def synthesize_long(self, body: dict) -> np.ndarray:
@@ -220,50 +232,53 @@ def make_handler(state: ServerState):
 
         def _tts_stream(self):
             """Chunked-transfer raw 16-bit PCM (44.1 kHz mono), emitted while
-            the decode loop runs (``Zonos.stream_generate``); batch-1 path."""
+            the decode loop runs.  Streams go through the continuous batcher
+            (``ContinuousBatcher.submit_stream``): concurrent stream requests
+            ride one batched decode (same window) or interleave chunk-wise
+            (separate groups) — the handler never holds the device lock."""
             body = self._json_body()
             if body.get("long"):
                 raise ValueError(
                     "'long' is not supported on /v1/tts/stream (one "
                     "generation streams at most 30 s); use /v1/tts with "
                     "'long': true, or stream per-segment client-side")
-            req = state.request_from_json(body)
-            with state.device_lock:
-                # everything that can fail with a clean 4xx/5xx runs BEFORE
-                # the status line goes out
-                prefix = state.model.prepare_conditioning(req.cond_dict)
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("X-Sample-Rate", "44100")
-                self.send_header("X-Sample-Format", "s16le")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
+            req = state.stream_request_from_json(body)
+            # everything that can fail with a clean 4xx runs BEFORE the
+            # status line goes out (batcher-side validation errors surface
+            # on the first chunks() pull, after headers — so pre-validate)
+            from zonos_tpu.conditioning import prepare_cond_inputs
 
-                def chunk(data: bytes):
-                    self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            prepare_cond_inputs(state.model.specs, req.cond_dict)
+            handle = state.batcher.submit_stream(req)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Sample-Rate", "44100")
+            self.send_header("X-Sample-Format", "s16le")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
 
-                try:
-                    for piece in state.model.stream_generate(
-                        prefix,
-                        max_new_tokens=req.max_new_tokens,
-                        cfg_scale=req.cfg_scale,
-                        sampling_params=req.sampling,
-                        seed=req.seed,
-                    ):
-                        pcm = np.clip(np.asarray(piece, np.float32).reshape(-1), -1, 1)
-                        chunk((pcm * 32767.0).astype("<i2").tobytes())
-                    self.wfile.write(b"0\r\n\r\n")
-                except BrokenPipeError:
-                    self.close_connection = True
-                except Exception:  # noqa: BLE001
-                    # headers are already out: writing a second HTTP
-                    # response into the chunked body would corrupt the
-                    # stream (the client parses the status line as a chunk
-                    # size) — drop the connection so it sees truncation
-                    logging.getLogger("zonos_tpu.serving").exception(
-                        "stream aborted mid-generation"
-                    )
-                    self.close_connection = True
+            def chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+            try:
+                for piece in handle.chunks(timeout=600.0):
+                    pcm = np.clip(np.asarray(piece, np.float32).reshape(-1), -1, 1)
+                    chunk((pcm * 32767.0).astype("<i2").tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                handle.cancel()  # client hung up: stop delivery, free a
+                # fully-cancelled batch early
+                self.close_connection = True
+            except Exception:  # noqa: BLE001
+                # headers are already out: writing a second HTTP response
+                # into the chunked body would corrupt the stream (the client
+                # parses the status line as a chunk size) — drop the
+                # connection so it sees truncation
+                logging.getLogger("zonos_tpu.serving").exception(
+                    "stream aborted mid-generation"
+                )
+                handle.cancel()
+                self.close_connection = True
 
         def _register_speaker(self):
             """Body: WAV bytes (Content-Type audio/wav).  Returns a content-
