@@ -22,6 +22,35 @@ import numpy as np
 _STATE: dict = {"model": None, "model_name": None, "spk_cache": {}}
 _LOCK = threading.Lock()
 
+# Async synthesis jobs (per-step progress + cancel — the reference UI's
+# progress bar / cancellation surface, gradio_interface.py:185-197, built on
+# the generate step callback, zonos/model.py:430-432).
+_JOBS: dict = {}
+_JOBS_LOCK = threading.Lock()
+
+
+class _Cancelled(Exception):
+    """Raised from the generate step callback to abort a cancelled job —
+    propagates out of Zonos.generate / synthesize_long mid-loop, freeing the
+    chip at the next chunk boundary."""
+
+
+def _new_job() -> tuple[str, dict]:
+    import time
+    import uuid
+
+    job = {"step": 0, "total": 1, "done": False, "error": None,
+           "wav": None, "cancel": False, "ts": time.time()}
+    jid = uuid.uuid4().hex[:12]
+    with _JOBS_LOCK:
+        # prune finished jobs older than an hour (their wav bytes are the
+        # bulk of the memory)
+        for k in [k for k, j in _JOBS.items()
+                  if j["done"] and time.time() - j["ts"] > 3600]:
+            del _JOBS[k]
+        _JOBS[jid] = job
+    return jid, job
+
 
 def _parse_multipart(rfile, headers) -> dict:
     """Minimal multipart/form-data parser (the stdlib ``cgi`` module was
@@ -112,8 +141,10 @@ input[type=number] { width: 6rem; }
 <label>seed</label><input type="number" name="seed" value="423">
 <button type="button" onclick="f.seed.value=Math.floor(Math.random()*1e6)">randomize</button>
 </fieldset>
-<button type="submit">Synthesize</button>
+<button type="submit" id="go">Synthesize</button>
+<button type="button" id="stop" style="display:none">Cancel</button>
 </form>
+<progress id="prog" max="1" value="0" style="display:none;width:100%"></progress>
 <div id="out"></div>
 <script>
 const EMOTIONS = ["Happiness","Sadness","Disgust","Fear","Surprise","Anger","Other","Neutral"];
@@ -129,16 +160,41 @@ fetch("/conditioners").then(r=>r.json()).then(names=>{
   document.getElementById("cond-controls").textContent =
     "model conditioners: " + names.join(", ");
 });
+let currentJob = null;
+const out = document.getElementById("out"), prog = document.getElementById("prog");
+const stopBtn = document.getElementById("stop"), goBtn = document.getElementById("go");
+stopBtn.addEventListener("click", ()=>{
+  if (currentJob) fetch(`/cancel?job=${currentJob}`, {method:"POST"});
+});
 document.getElementById("f").addEventListener("submit", async (ev)=>{
   ev.preventDefault();
   const fd = new FormData(ev.target);
-  document.getElementById("out").textContent = "generating...";
-  const res = await fetch("/synthesize", {method:"POST", body: fd});
-  if (!res.ok) { document.getElementById("out").textContent = "error: " + await res.text(); return; }
-  const blob = await res.blob();
-  const url = URL.createObjectURL(blob);
-  document.getElementById("out").innerHTML =
-    `<audio controls src="${url}"></audio> <a href="${url}" download="zonos_tpu.wav">download</a>`;
+  out.textContent = "generating...";
+  goBtn.disabled = true; stopBtn.style.display = "";
+  prog.style.display = ""; prog.value = 0; prog.max = 1;
+  try {
+    const res = await fetch("/synthesize_async", {method:"POST", body: fd});
+    if (!res.ok) { out.textContent = "error: " + await res.text(); return; }
+    currentJob = (await res.json()).job;
+    while (true) {
+      await new Promise(r=>setTimeout(r, 400));
+      const p = await (await fetch(`/progress?job=${currentJob}`)).json();
+      prog.max = p.total; prog.value = p.step;
+      out.textContent = `generating... ${p.step}/${p.total} steps`;
+      if (p.done) {
+        if (p.error) { out.textContent = p.error === "cancelled" ? "cancelled" : "error: " + p.error; return; }
+        break;
+      }
+    }
+    const blob = await (await fetch(`/result?job=${currentJob}`)).blob();
+    const url = URL.createObjectURL(blob);
+    out.innerHTML =
+      `<audio controls src="${url}"></audio> <a href="${url}" download="zonos_tpu.wav">download</a>`;
+  } finally {
+    currentJob = null;
+    goBtn.disabled = false; stopBtn.style.display = "none";
+    prog.style.display = "none";
+  }
 });
 </script></body></html>"""
 
@@ -148,6 +204,31 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
+        from urllib.parse import parse_qs, urlparse
+
+        path = urlparse(self.path).path
+        if path in ("/progress", "/result"):
+            q = parse_qs(urlparse(self.path).query)
+            jid = (q.get("job") or [""])[0]
+            with _JOBS_LOCK:
+                job = _JOBS.get(jid)
+            if job is None:
+                self._json(404, {"error": "unknown job"})
+                return
+            if path == "/progress":
+                self._json(200, {"step": job["step"], "total": job["total"],
+                                 "done": job["done"], "error": job["error"]})
+                return
+            if not job["done"]:
+                self._json(409, {"error": "not done"})
+            elif job["error"]:
+                self._json(500, {"error": job["error"]})
+            else:
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.end_headers()
+                self.wfile.write(job["wav"])
+            return
         if self.path == "/conditioners":
             model = _get_model(_STATE.get("model_name") or "Zyphra/Zonos-v0.1-transformer")
             names = [s.name for s in model.specs]
@@ -162,8 +243,37 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(PAGE.encode())
 
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_POST(self):
         try:
+            from urllib.parse import parse_qs, urlparse
+
+            path = urlparse(self.path).path
+            if path == "/synthesize_async":
+                form = _parse_multipart(self.rfile, self.headers)
+                jid, job = _new_job()
+                threading.Thread(target=self._run_job, args=(form, job),
+                                 daemon=True).start()
+                self._json(200, {"job": jid})
+                return
+            if path == "/cancel":
+                q = parse_qs(urlparse(self.path).query)
+                jid = (q.get("job") or [""])[0]
+                with _JOBS_LOCK:
+                    job = _JOBS.get(jid)
+                if job is None:
+                    self._json(404, {"error": "unknown job"})
+                    return
+                job["cancel"] = True
+                self._json(200, {"ok": True})
+                return
             form = _parse_multipart(self.rfile, self.headers)
             wav_bytes = self._synthesize(form)
             self.send_response(200)
@@ -178,7 +288,20 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(str(e).encode())
 
-    def _synthesize(self, form: dict) -> bytes:
+    def _run_job(self, form: dict, job: dict):
+        try:
+            job["wav"] = self._synthesize(form, job=job)
+        except _Cancelled:
+            job["error"] = "cancelled"
+        except Exception as e:  # noqa: BLE001 — report to the polling UI
+            job["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            import time
+
+            job["done"] = True
+            job["ts"] = time.time()
+
+    def _synthesize(self, form: dict, job: dict | None = None) -> bytes:
         from zonos_tpu.conditioning import make_cond_dict
 
         g = lambda k, d=None: form.get(k, (d, None))[0]
@@ -212,6 +335,25 @@ class Handler(BaseHTTPRequestHandler):
             repetition_penalty=float(g("repetition_penalty", 3.0)),
         )
         uncond_keys = set((g("unconditional_keys", "") or "").split())
+
+        step_cb = None
+        long_cb = None
+        if job is not None:
+            def step_cb(_frame, step, total):
+                if job["cancel"]:
+                    raise _Cancelled
+                job["step"], job["total"] = int(step), int(total)
+                return True
+
+            def long_cb(seg, n_seg, step, total):
+                if job["cancel"]:
+                    raise _Cancelled
+                # global progress across segments (each segment may stop
+                # early at EOS, so this is an upper-bound estimate)
+                job["step"] = int(seg * total + step)
+                job["total"] = int(n_seg * total)
+                return True
+
         if g("longform"):
             from zonos_tpu.longform import synthesize_long
 
@@ -232,6 +374,7 @@ class Handler(BaseHTTPRequestHandler):
                 # silently ignored in long-form mode
                 max_segment_seconds=min(25.0, float(g("seconds", 10))),
                 max_new_tokens=int(min(30.0, float(g("seconds", 10))) * 86),
+                step_callback=long_cb,
             )
             from zonos_tpu.audio import normalize_loudness
 
@@ -257,6 +400,7 @@ class Handler(BaseHTTPRequestHandler):
                 cfg_scale=float(g("cfg_scale", 2.0)),
                 sampling_params=sampling,
                 seed=int(g("seed", 423)),
+                callback=step_cb,
             )
             out_wav = model.autoencoder.codes_to_wavs(codes)[0][0]
         pcm = (np.clip(out_wav, -1, 1) * 32767).astype(np.int16)

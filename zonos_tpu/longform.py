@@ -159,11 +159,16 @@ def synthesize_long(
     on_segment=None,
     initial_prefix_codes: np.ndarray | None = None,
     retries: int = 2,
+    step_callback=None,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Synthesize arbitrary-length ``text`` -> (waveform float32 [S], per-
     segment codes).  ``cond_overrides`` are extra make_cond_dict kwargs
     (emotion, pitch_std, speaking_rate, ...).  ``on_segment(i, n, wav)`` is
     called after each segment (progress / incremental writing).
+    ``step_callback(seg_idx, n_segments, step, max_steps)`` is called per
+    decode chunk inside each segment (fine-grained UI progress — the
+    step-callback contract of zonos/model.py:430-432 lifted to long-form);
+    raise from it to abort the whole synthesis mid-segment (cancel).
 
     Each segment after the first is generated from the previous segment's
     last ``carry_frames`` codes (audio-prefix continuity) and decoded with
@@ -193,6 +198,11 @@ def synthesize_long(
         # bucket the phoneme length so segments of different lengths reuse
         # one compiled decode program (same trick as the SRT pipeline)
         prefix_cond = model.prepare_conditioning(cond, pad_to_multiple=32)
+        cb = None
+        if step_callback is not None:
+            n_seg = len(segments)
+            cb = (lambda i=i, n=n_seg: lambda _frame, step, total:
+                  step_callback(i, n, step, total) is not False)()
         for attempt in range(retries + 1):
             codes = model.generate(
                 prefix_cond,
@@ -203,6 +213,7 @@ def synthesize_long(
                 sampling_params=sampling_params,
                 seed=seed + i + attempt * 7919,
                 progress_bar=progress_bar,
+                callback=cb,
             )[0]  # [K, T_new] — generate strips the carried prefix itself
             codes = np.asarray(codes)
             if codes.shape[-1] > 0:
