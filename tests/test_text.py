@@ -102,3 +102,53 @@ def test_phonemize_other_languages():
     for lang, text in [("es", "hola mundo"), ("de", "guten tag"), ("fr-fr", "bonjour")]:
         out = phonemize([text], [lang])[0]
         assert out, (lang, text)
+
+
+def test_english_lexicon_supplement():
+    """Supplementary lexicon entries resolve to dictionary pronunciations
+    (espeak-convention IPA), not letter-rule approximations."""
+    from zonos_tpu.text.g2p import _english_word_to_ipa as w
+    from zonos_tpu.text.lexicon_en import SUPPLEMENT
+
+    assert len(SUPPLEMENT) > 1000, f"lexicon shrank: {len(SUPPLEMENT)}"
+    # spot-check words whose letter-rule rendering is badly wrong
+    assert w("station") == "ˈsteɪʃən"
+    assert w("information").endswith("ˈmeɪʃən")
+    assert w("knowledge").startswith("ˈnɑ")   # silent k
+    assert w("island").startswith("ˈaɪ")      # silent s
+    assert w("women") == "ˈwɪmən"
+    assert w("clothes") == "kloʊðz"
+
+
+def test_english_morphology_derivation():
+    """OOV inflections derive from lexicon stems with correct voicing and
+    stem recovery (silent-e, doubling, y->i) — VERDICT r2 task #6."""
+    from zonos_tpu.text.g2p import _english_word_to_ipa as w
+
+    assert w("making") == "ˈmeɪkɪŋ"      # silent-e restore
+    assert w("running") == "ˈɹʌnɪŋ"      # doubled-consonant undo
+    assert w("stopped") == "stɑpt"       # doubling + voiceless -ed -> /t/
+    assert w("used") == "juːst"          # e-final stem, NOT "us"+ed
+    assert w("judged").endswith("d")     # voiced -ed -> /d/
+    assert w("boxes").endswith("əz")     # sibilant plural
+    assert w("cities") == "ˈsɪtiːz"      # y->i plural
+    assert w("tried") == "tɹaɪd"         # y->i past
+    assert w("teachers").endswith("z")   # voiced plural
+    assert w("quickly").endswith("liː")
+    assert w("careful") == "ˈkɛɹfəl"
+    assert w("development") == "dɪˈvɛləpmənt"
+
+
+def test_english_latinate_stress():
+    """Latinate suffixes place stress the letter rules cannot: -ation gets
+    the suffix stress, -ic stresses the preceding syllable."""
+    from zonos_tpu.text.g2p import _english_word_to_ipa as w
+
+    # the stress mark sits at the syllable ONSET (espeak convention), so
+    # check the stressed nucleus and the mark separately
+    assert w("taxation").endswith("eɪʃən") and "ˈ" in w("taxation")
+    assert w("computation").endswith("eɪʃən") and "ˈ" in w("computation")
+    assert w("musician").endswith("ɪʃən") and "ˈ" in w("musician")
+    out = w("fantastic")
+    assert out.endswith("ɪk") and "ˈ" in out
+    assert "ˈɑlə" in w("biology")

@@ -156,25 +156,143 @@ def _arpa_to_ipa(tokens: list[str], default_stress_first: bool = False) -> str:
     return "".join(out)
 
 
+def _lex(lw: str) -> list[str] | None:
+    """Lexicon lookup: curated core first, then the frequency supplement."""
+    if lw in EN.LEXICON:
+        return EN.LEXICON[lw].split()
+    from zonos_tpu.text.lexicon_en import SUPPLEMENT
+
+    if lw in SUPPLEMENT:
+        return SUPPLEMENT[lw].split()
+    return None
+
+
+_SIBILANTS = ("S", "Z", "SH", "ZH", "CH", "JH")
+_VOICELESS = ("P", "T", "K", "F", "TH")
+
+
+def _add_s(stem: list[str]) -> list[str]:
+    """Regular plural / 3rd-person -s with English voicing assimilation."""
+    base, _ = _strip_stress(stem[-1])
+    if base in _SIBILANTS:
+        return stem + ["AH0", "Z"]
+    if base in _VOICELESS:
+        return stem + ["S"]
+    return stem + ["Z"]
+
+
+def _add_d(stem: list[str]) -> list[str]:
+    """Regular past -ed with voicing assimilation."""
+    base, _ = _strip_stress(stem[-1])
+    if base in ("T", "D"):
+        return stem + ["AH0", "D"]
+    if base in ("P", "K", "F", "TH", "S", "SH", "CH"):
+        return stem + ["T"]
+    return stem + ["D"]
+
+
+def _stem_candidates(lw: str, n: int) -> list[str]:
+    """Orthographic stems for a suffix of length ``n``: plain strip, silent-e
+    restore (mak+ing -> make), and doubled-consonant undo (stopp+ed -> stop)."""
+    s = lw[:-n]
+    cands = [s, s + "e"]
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1] not in "aeiou":
+        cands.append(s[:-1])
+    return cands
+
+
+def _english_morphology(lw: str) -> list[str] | None:
+    """Derive OOV words from lexicon stems: plural/past/progressive (with
+    silent-e / consonant-doubling / y->i stem recovery and voicing
+    assimilation), comparatives, and common derivational suffixes.  Mirrors
+    the coverage eSpeak-NG's en_rules gets from its suffix machinery."""
+    stem = _lex(lw)
+    if stem:
+        return stem
+    # y -> i inflections first (cities, tried, happily, happiness)
+    if lw.endswith("ies") and (stem := _lex(lw[:-3] + "y")):
+        return _add_s(stem)
+    if lw.endswith("ied") and (stem := _lex(lw[:-3] + "y")):
+        return _add_d(stem)
+    if lw.endswith("ily") and (stem := _lex(lw[:-3] + "y")):
+        if _strip_stress(stem[-1])[0] == "IY":
+            stem = stem[:-1] + ["AH0"]
+        return stem + ["L", "IY0"]
+    if lw.endswith("iness") and (stem := _lex(lw[:-5] + "y")):
+        return stem + ["N", "AH0", "S"]
+    if lw.endswith("es"):
+        for c in _stem_candidates(lw, 2):
+            if (stem := _lex(c)) is not None:
+                return _add_s(stem)
+    if lw.endswith("s") and not lw.endswith("ss"):
+        if (stem := _lex(lw[:-1])) is not None:
+            return _add_s(stem)
+    if lw.endswith("ed"):
+        # silent-e stems drop only the 'd' (used -> use); checked first so
+        # "used" doesn't resolve to "us" + ed
+        for c in [lw[:-1]] + _stem_candidates(lw, 2):
+            if (stem := _lex(c)) is not None:
+                return _add_d(stem)
+    if lw.endswith("ing"):
+        for c in _stem_candidates(lw, 3):
+            if (stem := _lex(c)) is not None:
+                return stem + ["IH0", "NG"]
+    for suffix, extra in (
+        ("ly", ["L", "IY0"]),
+        ("ness", ["N", "AH0", "S"]),
+        ("ment", ["M", "AH0", "N", "T"]),
+        ("ful", ["F", "AH0", "L"]),
+        ("less", ["L", "AH0", "S"]),
+        ("er", ["ER0"]),
+        ("est", ["AH0", "S", "T"]),
+    ):
+        if lw.endswith(suffix):
+            for c in _stem_candidates(lw, len(suffix)):
+                if (stem := _lex(c)) is not None:
+                    return stem + extra
+    return None
+
+
+# Latinate suffixes carry predictable stress the plain letter rules cannot
+# place: the suffix phones below are attached to the rule-derived stem, and
+# ``stress_prev`` suffixes stress the stem's LAST vowel (penultimate-stress
+# family: -ic, -ity, -ical, ...).
+_LATINATE = (
+    ("ation", ["EY1", "SH", "AH0", "N"], False),
+    ("ician", ["IH1", "SH", "AH0", "N"], False),
+    ("ition", ["IH1", "SH", "AH0", "N"], False),
+    ("ology", ["AA1", "L", "AH0", "JH", "IY0"], False),
+    ("ography", ["AA1", "G", "R", "AH0", "F", "IY0"], False),
+    ("icity", ["IH1", "S", "AH0", "T", "IY0"], False),
+    ("ical", ["IH0", "K", "AH0", "L"], True),
+    ("ity", ["IH0", "T", "IY0"], True),
+    ("ic", ["IH0", "K"], True),
+)
+
+
+def _english_latinate(lw: str) -> list[str] | None:
+    for suffix, phones, stress_prev in _LATINATE:
+        if not lw.endswith(suffix) or len(lw) - len(suffix) < 2:
+            continue
+        stem_arpa = _apply_rules_en(lw[: -len(suffix)])
+        if stress_prev:
+            for i in range(len(stem_arpa) - 1, -1, -1):
+                if _strip_stress(stem_arpa[i])[0] in EN.ARPA_VOWELS:
+                    stem_arpa[i] = _strip_stress(stem_arpa[i])[0] + "1"
+                    break
+        return stem_arpa + phones
+    return None
+
+
 @functools.lru_cache(maxsize=65536)
 def _english_word_to_ipa(word: str) -> str:
     lw = word.lower()
-    if lw in EN.LEXICON:
-        return _arpa_to_ipa(EN.LEXICON[lw].split())
-    # simple morphology: plural/past/progressive built from a lexicon stem
-    for suffix, extra in (("s", ["Z"]), ("ed", ["D"]), ("ing", ["IH0", "NG"])):
-        if lw.endswith(suffix) and lw[: -len(suffix)] in EN.LEXICON:
-            stem = EN.LEXICON[lw[: -len(suffix)]].split()
-            base, _ = _strip_stress(stem[-1])
-            if suffix == "s" and base in ("S", "Z", "SH", "ZH", "CH", "JH"):
-                extra = ["AH0", "Z"]
-            elif suffix == "s" and base in ("P", "T", "K", "F", "TH"):
-                extra = ["S"]
-            elif suffix == "ed" and base in ("T", "D"):
-                extra = ["AH0", "D"]
-            elif suffix == "ed" and base in ("P", "K", "F", "TH", "S", "SH", "CH"):
-                extra = ["T"]
-            return _arpa_to_ipa(stem + extra)
+    arpa = _english_morphology(lw)
+    if arpa is not None:
+        return _arpa_to_ipa(arpa)
+    arpa = _english_latinate(lw)
+    if arpa is not None:
+        return _arpa_to_ipa(arpa)
     return _arpa_to_ipa(_apply_rules_en(lw), default_stress_first=True)
 
 
