@@ -177,3 +177,80 @@ def test_bf16_ssm_state_stays_close(monkeypatch):
     # residual stream makes the bf16-state divergence more visible) -- a lossy
     # serving mode (documented), not a parity mode
     assert err / scale < 0.35, f"bf16 ssm state diverged: rel err {err/scale:.3f}"
+
+
+def test_ssm_state_mode_selection(monkeypatch):
+    from zonos_tpu.models.hybrid import ssm_state_mode
+
+    monkeypatch.delenv("ZONOS_TPU_SSM_STATE", raising=False)
+    monkeypatch.delenv("ZONOS_TPU_SSM_BF16", raising=False)
+    assert ssm_state_mode(1) == "fp32"  # weight-bound: exactness is free
+    assert ssm_state_mode(15) == "fp32"
+    assert ssm_state_mode(16) == "f8"  # state-bound: measured large-batch winner
+    assert ssm_state_mode(None) == "fp32"
+    monkeypatch.setenv("ZONOS_TPU_SSM_BF16", "1")  # legacy knob still honored
+    assert ssm_state_mode(64) == "bf16"
+    monkeypatch.setenv("ZONOS_TPU_SSM_STATE", "int8")  # new knob wins
+    assert ssm_state_mode(1) == "int8"
+    monkeypatch.setenv("ZONOS_TPU_SSM_STATE", "fp16")
+    import pytest
+
+    with pytest.raises(ValueError):
+        ssm_state_mode(1)
+
+
+def test_ssm_state_store_load_roundtrip():
+    """int8 mode must round-trip on-grid states exactly (q/127*absmax grid);
+    f8 must clip instead of overflowing to NaN (e4m3fn has no inf)."""
+    from zonos_tpu.models.hybrid import _load_ssm, _store_ssm
+
+    rng = np.random.default_rng(7)
+    B_, H, P, N = 2, 3, 4, 8
+    # on-grid: integers in [-127, 127] scaled per-(b, h)
+    q = rng.integers(-127, 128, size=(B_, H, P, N)).astype(np.float32)
+    scale = rng.uniform(0.01, 2.0, size=(B_, H, 1, 1)).astype(np.float32)
+    # force absmax row so the stored scale reproduces `scale` exactly
+    q[:, :, 0, 0] = 127.0
+    st = jnp.asarray(q * scale)
+
+    cache = {"ssm": jnp.zeros((B_, H, P, N), jnp.int8),
+             "ssm_scale": jnp.ones((B_, H, 1, 1), jnp.float32)}
+    back = _load_ssm(_store_ssm(st, cache))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(st), rtol=1e-6, atol=1e-6)
+
+    f8cache = {"ssm": jnp.zeros((B_, H, P, N), jnp.float8_e4m3fn)}
+    big = jnp.full((B_, H, P, N), 1e6, jnp.float32)
+    clipped = _load_ssm(_store_ssm(big, f8cache))
+    assert np.isfinite(np.asarray(clipped)).all()
+    assert float(np.asarray(clipped).max()) == 448.0
+
+
+def test_quantized_ssm_state_stays_close(monkeypatch):
+    """f8 and int8 state modes quarter decode-state HBM traffic; the
+    contractive recurrence (dA<1) bounds the storage-rounding feedback.
+    Same protocol as the bf16 test above; both modes must stay closer than
+    the documented bf16 drift would suggest relative to their precision."""
+    cfg = _tiny_hybrid_cfg().backbone
+    params = init_hybrid_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    B_, S_max = 2, 64
+    x = jax.random.normal(jax.random.key(1), (B_, 1, cfg.d_model), jnp.bfloat16)
+
+    def run():
+        cache = create_hybrid_cache(cfg, B_, S_max)
+        outs = []
+        h = x
+        for t in range(32):
+            h_out, cache = hybrid_decode_step(cfg, params, h, cache, jnp.int32(t))
+            outs.append(np.asarray(h_out, np.float32))
+            h = h_out.astype(jnp.bfloat16)
+        return np.concatenate(outs, axis=1)
+
+    monkeypatch.setenv("ZONOS_TPU_SSM_STATE", "fp32")
+    ref = run()
+    scale = np.abs(ref).mean() + 1e-6
+    for mode, ceiling in [("f8", 0.45), ("int8", 0.35)]:
+        monkeypatch.setenv("ZONOS_TPU_SSM_STATE", mode)
+        got = run()
+        err = np.abs(got - ref).mean() / scale
+        assert err < ceiling, f"{mode} ssm state diverged: rel err {err:.3f}"
+        assert np.isfinite(got).all()
