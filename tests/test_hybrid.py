@@ -218,6 +218,15 @@ def test_ssm_state_store_load_roundtrip():
     back = _load_ssm(_store_ssm(st, cache))
     np.testing.assert_allclose(np.asarray(back), np.asarray(st), rtol=1e-6, atol=1e-6)
 
+    # int4: on the +-7 grid, nibble packing round-trips exactly
+    q4 = np.clip(np.round(q / 18.15), -7, 7).astype(np.float32)
+    q4[:, :, 0, 0] = 7.0
+    st4 = jnp.asarray(q4 * scale)
+    c4 = {"ssm_q4": jnp.zeros((B_, H, P, N // 2), jnp.int8),
+          "ssm_scale": jnp.ones((B_, H, 1, 1), jnp.float32)}
+    back4 = _load_ssm(_store_ssm(st4, c4))
+    np.testing.assert_allclose(np.asarray(back4), np.asarray(st4), rtol=1e-5, atol=1e-5)
+
     f8cache = {"ssm": jnp.zeros((B_, H, P, N), jnp.float8_e4m3fn)}
     big = jnp.full((B_, H, P, N), 1e6, jnp.float32)
     clipped = _load_ssm(_store_ssm(big, f8cache))
@@ -248,7 +257,7 @@ def test_quantized_ssm_state_stays_close(monkeypatch):
     monkeypatch.setenv("ZONOS_TPU_SSM_STATE", "fp32")
     ref = run()
     scale = np.abs(ref).mean() + 1e-6
-    for mode, ceiling in [("f8", 0.45), ("int8", 0.35)]:
+    for mode, ceiling in [("f8", 0.45), ("int8", 0.35), ("int4", 0.80)]:
         monkeypatch.setenv("ZONOS_TPU_SSM_STATE", mode)
         got = run()
         err = np.abs(got - ref).mean() / scale

@@ -106,7 +106,8 @@ def init_hybrid_params(key: jax.Array, cfg: BackboneConfig, dtype=jnp.bfloat16) 
 
 
 def ssm_state_mode(batch: int | None = None) -> str:
-    """SSM decode-state storage mode: ``fp32`` | ``bf16`` | ``f8`` | ``int8``.
+    """SSM decode-state storage mode:
+    ``fp32`` | ``bf16`` | ``f8`` | ``int8`` | ``int4``.
 
     At large batch the [B, H, P, N] states are the dominant HBM traffic of
     hybrid decode (11.8 GB fp32 at batch 64 on the flagship, read+written
@@ -122,6 +123,10 @@ def ssm_state_mode(batch: int | None = None) -> str:
       write from the new state's absmax — quarter traffic plus a negligible
       [B, H] scale array, finer-grained than f8 when head states are
       well-ranged.
+    - ``int4``: two nibbles per byte along N (±7 grid, per-(batch, head)
+      scales) — EIGHTH traffic.  The aggressive end of the ladder for
+      state-bound large-batch serving; accuracy ceiling tested like the
+      others (tests/test_hybrid.py).
 
     ``ZONOS_TPU_SSM_STATE`` overrides; otherwise the default is batch-aware:
     fp32 below 16 CFG-doubled rows (state traffic is minor next to weights
@@ -133,8 +138,8 @@ def ssm_state_mode(batch: int | None = None) -> str:
         mode = "bf16"
     if mode is None:
         mode = "f8" if (batch is not None and batch >= 16) else "fp32"
-    if mode not in ("fp32", "bf16", "f8", "int8"):
-        raise ValueError(f"ZONOS_TPU_SSM_STATE={mode!r}: want fp32|bf16|f8|int8")
+    if mode not in ("fp32", "bf16", "f8", "int8", "int4"):
+        raise ValueError(f"ZONOS_TPU_SSM_STATE={mode!r}: want fp32|bf16|f8|int8|int4")
     return mode
 
 
@@ -143,12 +148,21 @@ _SSM_STATE_DTYPES = {
     "bf16": jnp.bfloat16,
     "f8": jnp.float8_e4m3fn,
     "int8": jnp.int8,
+    "int4": jnp.int8,  # two nibbles packed per byte along N
 }
 _F8_MAX = 448.0  # float8_e4m3fn has no inf: out-of-range converts poison to NaN
 
 
 def _load_ssm(state: dict) -> jnp.ndarray:
     """Stored state -> fp32 [B, H, P, N] (dequantized)."""
+    if "ssm_q4" in state:
+        packed = state["ssm_q4"]
+        lo = jnp.left_shift(packed, 4)
+        lo = jnp.right_shift(lo, 4)  # arithmetic shift: sign-extended nibble
+        hi = jnp.right_shift(packed, 4)
+        q = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1],
+                                                 2 * packed.shape[-1])
+        return q.astype(jnp.float32) * state["ssm_scale"]
     s = state["ssm"].astype(jnp.float32)
     if "ssm_scale" in state:
         s = s * state["ssm_scale"]
@@ -157,6 +171,16 @@ def _load_ssm(state: dict) -> jnp.ndarray:
 
 def _store_ssm(ssm_state: jnp.ndarray, state: dict) -> dict:
     """fp32 new state -> storage entries matching the cache's mode."""
+    if "ssm_q4" in state:
+        amax = jnp.max(jnp.abs(ssm_state), axis=(2, 3), keepdims=True)
+        scale = jnp.maximum(amax, 1e-20) / 7.0
+        q = jnp.clip(jnp.round(ssm_state / scale), -7, 7).astype(jnp.int8)
+        pairs = q.reshape(*q.shape[:-1], q.shape[-1] // 2, 2)
+        packed = jnp.bitwise_or(
+            jnp.bitwise_and(pairs[..., 0], 0x0F),
+            jnp.left_shift(pairs[..., 1], 4),
+        )
+        return {"ssm_q4": packed, "ssm_scale": scale}
     dt = state["ssm"].dtype
     if "ssm_scale" in state:
         amax = jnp.max(jnp.abs(ssm_state), axis=(2, 3), keepdims=True)
@@ -184,11 +208,13 @@ def create_hybrid_cache(cfg: BackboneConfig, batch: int, max_seqlen: int, dtype=
             shape = (batch, aHkv, max_seqlen, ahd)
             cache.append({"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
         else:
-            st = {
-                "conv": jnp.zeros((batch, K - 1, conv_dim), dtype),
-                "ssm": jnp.zeros((batch, H, cfg.ssm_headdim, N), ssm_dtype),
-            }
-            if mode == "int8":
+            st = {"conv": jnp.zeros((batch, K - 1, conv_dim), dtype)}
+            if mode == "int4":
+                st["ssm_q4"] = jnp.zeros((batch, H, cfg.ssm_headdim, N // 2),
+                                         jnp.int8)
+            else:
+                st["ssm"] = jnp.zeros((batch, H, cfg.ssm_headdim, N), ssm_dtype)
+            if mode in ("int8", "int4"):
                 st["ssm_scale"] = jnp.ones((batch, H, 1, 1), jnp.float32)
             cache.append(st)
     return tuple(cache)
@@ -251,7 +277,8 @@ def _mamba_mixer(cfg, lp, x, state, prefill: bool):
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + lp["dt_bias"])  # [B, S, H]
     A = -jnp.exp(lp["A_log"])  # [H]
 
-    ssm_in = None if state.get("ssm") is None else _load_ssm(state)
+    has_state = ("ssm" in state) or ("ssm_q4" in state)
+    ssm_in = _load_ssm(state) if has_state else None
     if prefill:
         y, ssm_state = ssd_chunked(xs, dt, A, Bm, Cm, lp["D"], init_state=ssm_in)
     else:
