@@ -133,8 +133,10 @@ def ssd_decode_step(
     and it removes the [B,H,P,N] ``upd`` intermediate from the naive form.
     The state IS the dominant HBM traffic of large-batch hybrid decode
     (~134 MB/layer fp32 at batch 128 on the flagship, read+written every
-    step) — the lever that does pay is storing it bf16
-    (``ZONOS_TPU_SSM_BF16=1``, models/hybrid.py): batch-64 RTF 32 -> 53."""
+    step) — the lever that pays is shrinking its storage
+    (``ZONOS_TPU_SSM_STATE``, models/hybrid.py): fp32 17.1 -> f8 30.6 RTF
+    at batch 64 (flagship scale; docs/PERFORMANCE.md has the full
+    precision ladder and the breakdown of the remaining compute floor)."""
     H = x.shape[1]
     Bh = jnp.repeat(Bm, H // Bm.shape[1], axis=1)  # [B, H, N]
     Ch = jnp.repeat(Cm, H // Cm.shape[1], axis=1)
