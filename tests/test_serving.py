@@ -426,3 +426,18 @@ def test_crossfade_concat():
     # degenerate: short pieces just concatenate
     out2 = _crossfade_concat([np.ones(1, np.float32)] * 3, sr=44100)
     assert out2.shape[0] == 3
+
+
+def test_warmup_streaming_precompiles(tiny_model):
+    """Streaming warmup compiles the no-growth decode programs and the
+    bucketed vocode windows a live stream hits (the 20-s first-stream
+    cadence stall measured in tools/ttfa_load_bench.py)."""
+    batcher = ContinuousBatcher(tiny_model, max_batch=2, max_wait_ms=10.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2))
+    try:
+        n = batcher.warmup_streaming(cond_lens=(16,), max_new_tokens=32,
+                                     chunk_frames=8, margin_frames=8)
+        # 2 buckets x (init+loop) + 2 buckets x 1 width x {B,1} rows
+        assert n >= 6, n
+    finally:
+        batcher.close()

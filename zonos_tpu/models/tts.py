@@ -849,6 +849,15 @@ class Zonos:
             """[R, K, W] window -> [R, samples] float32."""
             return np.asarray(self.autoencoder.decode(codes_w))[:, 0]
 
+        def bucket_w0(w0: int, hi: int) -> int:
+            """Pull the window start DOWN so the vocode width hits a
+            32-frame bucket: stream windows otherwise present a new width
+            almost every chunk (start-up, per-row finals), and each width is
+            an XLA compile of the DAC decoder.  Extra LEFT context beyond
+            the margin only moves the result closer to the full decode."""
+            width = -(-(hi - w0) // 32) * 32
+            return max(0, hi - width)
+
         done = False
         while not done:
             state = loop(self.params, state, cfg_scale_arr, jnp.int32(chunk_frames))
@@ -871,7 +880,7 @@ class Zonos:
                     # whole remainder, vocoded on the row's exact code length
                     lo = int(emitted[i])
                     if ends[i] > lo:
-                        w0 = max(0, lo - margin_frames)
+                        w0 = bucket_w0(max(0, lo - margin_frames), int(ends[i]))
                         wav = decode_rows(codes[i : i + 1, :, w0 : ends[i]])[0]
                         events.append((i, wav[(lo - w0) * hop : (ends[i] - w0) * hop]))
                         emitted[i] = ends[i]
@@ -879,7 +888,9 @@ class Zonos:
                 elif hi_steady > emitted[i]:
                     steady.append(i)
             if steady:
-                w0 = max(0, int(min(emitted[i] for i in steady)) - margin_frames)
+                w0 = bucket_w0(
+                    max(0, int(min(emitted[i] for i in steady)) - margin_frames),
+                    avail)
                 wavs = decode_rows(codes[steady, :, w0:avail])
                 for j, i in enumerate(steady):
                     lo = int(emitted[i])

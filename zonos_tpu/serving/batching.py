@@ -371,6 +371,63 @@ class ContinuousBatcher:
                     state_s = {**state_s, "cache": grown}
         return count
 
+    def warmup_streaming(
+        self,
+        cond_lens: tuple[int, ...] = (32, 64),
+        max_new_tokens: int | tuple[int, ...] = (512, 2048),
+        chunk_frames: int = 43,
+        margin_frames: int = 32,
+        sampling: SamplingParams | None = None,
+    ) -> int:
+        """Precompile what a live stream would otherwise compile mid-flight
+        (measured as a 20+-second cadence stall on the first unwarmed
+        stream, tools/ttfa_load_bench.py): the no-cache-growth decode
+        programs streaming uses, and the DAC vocode windows — stream window
+        starts are bucketed so widths land on 32-frame multiples
+        (models/tts.py bucket_w0), giving a small finite shape set."""
+        import jax
+
+        from zonos_tpu.models.tts import GenerateStatics
+
+        sampling = sampling or SamplingParams()
+        model = self.model
+        K = model.config.num_codebooks
+        d = model.config.backbone.d_model
+        frame_buckets = (max_new_tokens,) if isinstance(max_new_tokens, int) else max_new_tokens
+        count = 0
+        for B in self.batch_buckets:
+            for cond_len in cond_lens:
+                for frames in frame_buckets:
+                    statics = GenerateStatics(
+                        batch_size=B, cond_len=cond_len, prefix_audio_len=0,
+                        max_new_tokens=frames, sampling=sampling,
+                    )
+                    init, loop = model._get_generate_parts(statics)  # no growth
+                    prefix_s = jax.ShapeDtypeStruct((2 * B, cond_len, d), jnp.bfloat16)
+                    pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
+                    scale_s = jax.ShapeDtypeStruct((), jnp.float32)
+                    key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+                    limit_s = jax.ShapeDtypeStruct((B,), jnp.int32)
+                    state_s = jax.eval_shape(init, model.params, prefix_s, pcodes_s,
+                                             scale_s, key_s, step_limit=limit_s)
+                    init.lower(model.params, prefix_s, pcodes_s, scale_s, key_s,
+                               step_limit=limit_s).compile()
+                    loop.lower(model.params, state_s, scale_s,
+                               jax.ShapeDtypeStruct((), jnp.int32)).compile()
+                    count += 2
+            # vocode windows: every 32-frame width up to the steady window,
+            # at the batched (B rows) and per-row-final (1 row) batch dims
+            steady = -(-(chunk_frames + 2 * margin_frames) // 32) * 32
+            ae = model.autoencoder
+            for width in range(32, steady + 32, 32):
+                for rows in {B, 1}:
+                    ae._decode_jit.lower(
+                        ae.params,
+                        jax.ShapeDtypeStruct((rows, K, width), jnp.int32),
+                    ).compile()
+                    count += 1
+        return count
+
     def submit(self, request: TTSRequest) -> PendingResult:
         pending = PendingResult()
         pending._submitted = time.monotonic()

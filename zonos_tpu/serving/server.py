@@ -376,6 +376,7 @@ def main(argv=None) -> None:
     if args.warmup:
         print("warming decode programs ...")
         n = state.batcher.warmup()
+        n += state.batcher.warmup_streaming()
         print(f"warmup done: {n} programs compiled")
     httpd = serve(state, args.host, args.port, background=False)
     print(f"serving on http://{args.host}:{args.port}  (POST /v1/tts)")
