@@ -27,10 +27,10 @@ LANGS = [k for k in FIXTURES if not k.startswith("_")]
 PER_CEILING = {
     # en-us tightened 0.20 -> 0.10 after the supplementary lexicon +
     # morphology/latinate-stress engine (measured 0.061, r3)
-    "en-us": 0.10, "es": 0.16, "de": 0.32, "it": 0.20, "fr-fr": 0.22,
-    "pt": 0.34, "ja": 0.08, "ko": 0.22, "ru": 0.08, "el": 0.08, "hi": 0.26,
+    "en-us": 0.10, "es": 0.16, "de": 0.12, "it": 0.20, "fr-fr": 0.22,
+    "pt": 0.10, "ja": 0.08, "ko": 0.22, "ru": 0.08, "el": 0.08, "hi": 0.26,
 }
-OVERALL_CEILING = 0.18
+OVERALL_CEILING = 0.12
 
 
 def _pairs(lang):

@@ -360,12 +360,29 @@ _WORD_LEXICONS: dict[str, dict[str, str]] = {
         "pas": "pa", "plaît": "plɛ", "monsieur": "məsjø", "oui": "wi",
         "temps": "tɑn", "beaucoup": "boku", "deux": "dø", "trois": "tʁwa",
     },
+    # function words where espeak's output departs from the letter tables
+    # (closed-syllable vowel quality, vocalized final r)
+    "de": {
+        "dem": "dem", "den": "den", "der": "dɛə", "des": "dɛs",
+        "dir": "diə", "mir": "miə", "wir": "viə", "er": "ɛə",
+        "ihr": "iə", "für": "fyə", "nur": "nuə", "vor": "foə",
+        "guten": "ɡutən", "ein": "aɪn", "eine": "aɪnə",
+    },
+    "pt": {
+        "por": "pur", "como": "komu", "com": "kon", "um": "un",
+        "uma": "umɐ", "de": "dɨ", "do": "du", "da": "dɐ",
+        "os": "uʃ", "o": "u", "e": "i", "é": "ɛ",
+    },
 }
 _FR_SILENT_FINALS = "estdxzp"
 
 
 def _word_pre(word: str, lang: str) -> str:
-    """Orthographic word-level adjustments before the grapheme table."""
+    """Orthographic word-level adjustments before the grapheme table.
+
+    The rewrites may inject IPA characters directly (ə, ŋ, ʃ, ɨ, ...):
+    ``_phonemic_word_to_ipa`` passes unmatched alphabetic characters
+    through verbatim, so injected phones survive the table pass."""
     if lang == "fr" and len(word) > 2:
         if word.endswith("es") and len(word) > 3:
             word = word[:-2]  # -es plural: both letters silent
@@ -373,6 +390,42 @@ def _word_pre(word: str, lang: str) -> str:
             word = word[:-1]
         if word and word[-1] == "e" and len(word) > 2:
             word = word[:-1]  # silent final e (after a first strip: -tes etc.)
+    if lang == "de":
+        # -chen diminutive keeps ç regardless of the preceding letter
+        if len(word) > 4 and word.endswith("chen"):
+            word = word[:-4] + "çən"
+        # lengthening h is silent (geht -> ɡet); vowel quality via digraphs
+        word = re.sub(r"([aeiouäöüy])h(?=[^aeiouäöü]|$)", r"\1", word)
+        # degeminate double consonants (Wetter -> vɛtə, not vɛttɛr)
+        word = re.sub(r"([bcdfgklmnprstv])\1", r"\1", word)
+        # velar nasal: -ng is ŋ (Zeitung), not n+ɡ
+        word = word.replace("ng", "ŋ")
+        # unstressed endings reduce to schwa; word-final -er/-r vocalize
+        if len(word) > 3:
+            for suf, rep in (("en", "ən"), ("er", "ə"), ("el", "əl"),
+                             ("e", "ə")):
+                if word.endswith(suf):
+                    word = word[: -len(suf)] + rep
+                    break
+        # final obstruent devoicing (liegt -> likt, Tag -> tak)
+        word = re.sub(r"b(?=[st]?$)", "p", word)
+        word = re.sub(r"d(?=[st]?$)", "t", word)
+        word = re.sub(r"(?<!ŋ)g(?=[st]?$)", "k", word)
+    if lang == "pt":
+        # European Portuguese reductions (espeak 'pt' is pt-PT):
+        # coda s -> ʃ (estás -> ...taʃ), final unstressed o -> u, e -> ɨ;
+        # initial es- -> ɨʃ
+        if len(word) > 2:
+            if word.endswith("o"):
+                word = word[:-1] + "u"
+            elif word.endswith("os"):
+                word = word[:-2] + "us"
+            elif word.endswith("e"):
+                word = word[:-1] + "ɨ"
+            elif word.endswith("es"):
+                word = word[:-2] + "ɨs"
+        word = re.sub(r"s(?=[^aeiouáéêíóôúâãõ]|$)", "ʃ", word)
+        word = re.sub(r"^e(?=ʃ)", "ɨ", word)
     return word
 
 
