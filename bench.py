@@ -31,6 +31,7 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "860"))
     cond_len = int(os.environ.get("BENCH_COND_LEN", "64"))
     quant = os.environ.get("BENCH_QUANT", "int8")  # serving mode; "none" = bf16
+    cfg_scale = float(os.environ.get("BENCH_CFG", "2.0"))  # 1.0 = CFG-free fast path
 
     arch = os.environ.get("BENCH_MODEL", "transformer")  # or "hybrid"
 
@@ -57,7 +58,7 @@ def main() -> None:
         """One full generate; returns audio-seconds produced."""
         out = model.generate(
             prefix, max_new_tokens=steps, batch_size=batch, seed=seed,
-            progress_bar=False,
+            progress_bar=False, cfg_scale=cfg_scale,
         )
         return sum(o.shape[1] for o in out) / FRAME_RATE
 
@@ -74,6 +75,8 @@ def main() -> None:
 
     rtf = audio_sec / dt
     suffix = "" if arch == "transformer" else f"_{arch}"
+    if cfg_scale == 1.0:
+        suffix += "_nocfg"
     result = {
         "metric": f"rtf_batch{batch}{suffix}",
         "value": round(rtf, 3),

@@ -199,3 +199,67 @@ def test_step_limits_per_sample():
     for f, c in zip(full, capped):
         n = c.shape[1]
         np.testing.assert_array_equal(f[:, :n], c)
+
+
+def test_cfg_free_fast_path_matches_cfg_program():
+    """cfg_scale=1.0 statically drops the uncond half (GenerateStatics.
+    use_cfg=False).  With the uncond prefix rows set EQUAL to the cond rows,
+    the full CFG program's blend is bitwise the cond logits at any scale —
+    so the fast path must produce identical codes while running half the
+    rows."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    d = copy.deepcopy(TRANSFORMER_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 2, "attn_mlp_d_intermediate": 128,
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2}}
+    )
+    model = Zonos(ZonosConfig.from_dict(d), seed=0)
+    B = 2
+    cond = jax.random.normal(jax.random.key(7), (B, 5, 64), jnp.bfloat16)
+    prefix = jnp.concatenate([cond, cond], axis=0)
+    kw = dict(batch_size=B, max_new_tokens=16, seed=9, progress_bar=False,
+              sampling_params=SamplingParams.greedy())
+    ref = model.generate(prefix, cfg_scale=2.0, **kw)
+    fast = model.generate(prefix, cfg_scale=1.0, **kw)
+    assert len(ref) == len(fast) == B
+    for r, f in zip(ref, fast):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(f))
+
+
+def test_cfg_free_fast_path_hybrid():
+    """Same static drop on the hybrid backbone (half the SSM state rows)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
+    from zonos_tpu.models.tts import Zonos
+    from zonos_tpu.ops.sampling import SamplingParams
+
+    d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    d["backbone"].update(
+        {"d_model": 64, "n_layer": 4, "attn_layer_idx": [1, 3],
+         "attn_mlp_d_intermediate": 128,
+         "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+         "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16,
+                      "rotary_emb_dim": 8}}
+    )
+    model = Zonos(ZonosConfig.from_dict(d), seed=0)
+    cond = jax.random.normal(jax.random.key(3), (1, 5, 64), jnp.bfloat16)
+    prefix = jnp.concatenate([cond, cond], axis=0)
+    kw = dict(max_new_tokens=10, seed=4, progress_bar=False,
+              sampling_params=SamplingParams.greedy())
+    ref = model.generate(prefix, cfg_scale=2.0, **kw)
+    fast = model.generate(prefix, cfg_scale=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(fast[0]))

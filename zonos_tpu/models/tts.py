@@ -120,18 +120,27 @@ def _mask_invalid(logits: jnp.ndarray, output_vocab: int) -> jnp.ndarray:
 
 @dataclass(frozen=True)
 class GenerateStatics:
-    """Shape-defining (compile-time) arguments of one generation program."""
+    """Shape-defining (compile-time) arguments of one generation program.
+
+    ``use_cfg=False`` builds the program WITHOUT the classifier-free-
+    guidance row doubling: at cfg_scale == 1.0 the blend
+    ``uncond + (cond-uncond)*1`` is just ``cond``, so the uncond half — half
+    of every matmul, KV cache and SSM state — can be dropped statically.
+    ``Zonos.generate`` selects this automatically when the caller passes
+    ``cfg_scale=1.0``."""
 
     batch_size: int
     cond_len: int
     prefix_audio_len: int
     max_new_tokens: int
     sampling: SamplingParams
+    use_cfg: bool = True
 
 
-def _compute_step_logits(model_params, cfg, hidden_2b, cfg_scale):
+def _compute_step_logits(model_params, cfg, hidden_2b, cfg_scale, use_cfg=True):
     logits = apply_heads(model_params, cfg, hidden_2b)
-    logits = cfg_blend(logits, cfg_scale)
+    if use_cfg:
+        logits = cfg_blend(logits, cfg_scale)
     return _mask_invalid(logits, cfg.output_vocab_size)
 
 
@@ -177,7 +186,7 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
         here instead of recompiling — and samples with different durations
         can share one device batch (serving/batching.py)."""
         backbone_params = model_params["backbone"]
-        cache = cache_fn(2 * B, initial_cache_len)
+        cache = cache_fn((2 if st.use_cfg else 1) * B, initial_cache_len)
 
         codes = jnp.full((B, K, audio_len), UNKNOWN_TOKEN, jnp.int32)
         if st.prefix_audio_len > 0:
@@ -186,11 +195,11 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
 
         # ---- prefill over text prefix + delayed audio prefix -------------
         audio_embeds = embed_codes(model_params, delayed[..., :prefill_len])
-        x = jnp.concatenate(
-            [prefix_cond, jnp.tile(audio_embeds, (2, 1, 1)).astype(prefix_cond.dtype)], axis=1
-        )
+        if st.use_cfg:
+            audio_embeds = jnp.tile(audio_embeds, (2, 1, 1))
+        x = jnp.concatenate([prefix_cond, audio_embeds.astype(prefix_cond.dtype)], axis=1)
         hidden, cache = prefill_fn(cfg.backbone, backbone_params, x, cache)
-        logits = _compute_step_logits(model_params, cfg, hidden[:, -1], cfg_scale)
+        logits = _compute_step_logits(model_params, cfg, hidden[:, -1], cfg_scale, st.use_cfg)
 
         key, sub = jax.random.split(key)
         first_token = sample_from_logits(sub, logits, st.sampling).astype(jnp.int32)
@@ -238,9 +247,10 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
             offset = s["offset"] + 1
             input_ids = jax.lax.dynamic_slice_in_dim(s["delayed"], offset - 1, 1, axis=2)
             h = embed_codes(model_params, input_ids)
-            h2 = jnp.tile(h, (2, 1, 1))
+            h2 = jnp.tile(h, (2, 1, 1)) if st.use_cfg else h
             hidden, cache = decode_step_fn(cfg.backbone, backbone_params, h2, s["cache"], s["pos"])
-            logits = _compute_step_logits(model_params, cfg, hidden[:, -1], cfg_scale) + bias
+            logits = _compute_step_logits(
+                model_params, cfg, hidden[:, -1], cfg_scale, st.use_cfg) + bias
 
             from zonos_tpu.ops.eos import EosState, eos_logit_mask, eos_update
 
@@ -585,13 +595,20 @@ class Zonos:
 
         K = self.config.num_codebooks
         prefix_audio_len = 0 if audio_prefix_codes is None else audio_prefix_codes.shape[2]
+        # cfg_scale == 1.0 makes the CFG blend the identity on the cond
+        # logits, so the uncond half (half of every matmul / cache / state)
+        # is dropped statically — a 2x serving lever for CFG-free traffic
+        use_cfg = float(cfg_scale) != 1.0
         statics = GenerateStatics(
             batch_size=batch_size,
             cond_len=int(prefix_conditioning.shape[1]),
             prefix_audio_len=prefix_audio_len,
             max_new_tokens=max_new_tokens,
             sampling=sampling,
+            use_cfg=use_cfg,
         )
+        if not use_cfg:
+            prefix_conditioning = prefix_conditioning[:batch_size]
         from zonos_tpu.config import find_multiple
 
         total_seq = find_multiple(statics.cond_len + prefix_audio_len + max_new_tokens + K, 64)
@@ -782,13 +799,17 @@ class Zonos:
         K = self.config.num_codebooks
         B = batch_size
         prefix_audio_len = 0 if audio_prefix_codes is None else audio_prefix_codes.shape[2]
+        use_cfg = float(cfg_scale) != 1.0
         statics = GenerateStatics(
             batch_size=B,
             cond_len=int(prefix_conditioning.shape[1]),
             prefix_audio_len=prefix_audio_len,
             max_new_tokens=max_new_tokens,
             sampling=sampling,
+            use_cfg=use_cfg,
         )
+        if not use_cfg:
+            prefix_conditioning = prefix_conditioning[:B]
         init, loop = self._get_generate_parts(statics)
         prefix_codes = (
             jnp.zeros((B, K, 0), jnp.int32)
