@@ -67,7 +67,30 @@ def main():
     st0 = cache[li]
     x0 = jax.random.normal(jax.random.key(0), (rows, 1, d), jnp.bfloat16)
 
-    if part == "state_bf16c":
+    if part in ("state_update", "state_contract"):
+        # split the state pipeline: update-only (h' = dA*h + dt*x⊗B, store)
+        # vs contract-only (y = Σ_n h·C) — which half owns the
+        # storage-independent floor?
+        def chained(x, st):
+            def body(i, carry):
+                x, st = carry
+                xs = jnp.broadcast_to(x[:, 0, :1, None], (rows, H, P)).astype(jnp.float32)
+                dtv = jnp.broadcast_to(jnp.abs(x[:, 0, :1]), (rows, H)).astype(jnp.float32) * 1e-2 + 0.1
+                Bm = jnp.broadcast_to(x[:, 0, :1, None], (rows, H, N)).astype(jnp.float32)
+                h_in = _load_ssm(st)
+                if part == "state_update":
+                    dA = jnp.exp(dtv * -jnp.exp(lp["A_log"])[None, :])
+                    h_new = h_in * dA[..., None, None] + jnp.einsum(
+                        "bhp,bhn->bhpn", xs * dtv[..., None], Bm)
+                    st = {"conv": st["conv"], **_store_ssm(h_new, st)}
+                    y = h_new[..., 0]
+                else:
+                    y = jnp.einsum("bhpn,bhn->bhp", h_in, Bm)
+                x = (x + y.reshape(rows, 1, d_inner)[..., :d] * 1e-3).astype(jnp.bfloat16)
+                return (x, st)
+            return jax.lax.fori_loop(0, n, body, (x, st))
+        args = (x0, st0)
+    elif part == "state_bf16c":
         # EXPERIMENT: run the whole state pipeline in bf16 compute — halves
         # VMEM traffic between fused loops (TPU VPU ALUs are fp32 either
         # way); measures how much of the storage-independent floor is
