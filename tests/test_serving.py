@@ -441,3 +441,28 @@ def test_warmup_streaming_precompiles(tiny_model):
         assert n >= 6, n
     finally:
         batcher.close()
+
+
+def test_cfg_free_requests_through_batcher(tiny_model):
+    """cfg_scale=1.0 requests group separately (different batch key) and run
+    the statically-halved CFG-free program end-to-end; warmup covers it via
+    use_cfg=False."""
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=300.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        assert batcher.warmup(cond_lens=(32,), max_new_tokens=512,
+                              sampling=SamplingParams.greedy(),
+                              use_cfg=False) > 0
+        p1 = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="no guidance", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(), cfg_scale=1.0, max_new_tokens=18))
+        p2 = batcher.submit(TTSRequest(
+            cond_dict=make_cond_dict(text="with guidance", speaker=_spk(1)),
+            sampling=SamplingParams.greedy(), cfg_scale=2.0, max_new_tokens=18))
+        w1 = p1.wait(timeout=900)
+        w2 = p2.wait(timeout=900)
+        assert w1.shape[-1] > 0 and w2.shape[-1] > 0
+        s = batcher.snapshot()
+        assert s["batches"] == 2, f"cfg=1 and cfg=2 must not share a batch: {s}"
+    finally:
+        batcher.close()

@@ -306,13 +306,17 @@ class ContinuousBatcher:
         # here is a multi-second XLA compile on live traffic
         max_new_tokens: int | tuple[int, ...] = (512, 1024, 1536, 2048, 86 * 30),
         sampling: SamplingParams | None = None,
+        use_cfg: bool = True,
     ) -> int:
         """Precompile the decode programs steady-state serving will hit:
         every batch bucket × padded cond_len × cache-growth bucket.
 
         Uses ``jit.lower(...).compile()`` on shape structs — no device
         execution, just compilation — so a server can warm in a background
-        thread (or ahead of traffic) without occupying the chip.  Combined
+        thread (or ahead of traffic) without occupying the chip.  Call once
+        more with ``use_cfg=False`` if the deployment serves ``cfg_scale=1``
+        traffic (the statically-halved CFG-free programs compile
+        separately).  Combined
         with the persistent XLA compilation cache (server ``--compile_cache``)
         warmup after a restart is a disk read.  Returns #programs compiled."""
         import jax
@@ -330,7 +334,7 @@ class ContinuousBatcher:
             for cond_len, frames in [(c, f) for c in cond_lens for f in frame_buckets]:
                 statics = GenerateStatics(
                     batch_size=B, cond_len=cond_len, prefix_audio_len=0,
-                    max_new_tokens=frames, sampling=sampling,
+                    max_new_tokens=frames, sampling=sampling, use_cfg=use_cfg,
                 )
                 total_seq = find_multiple(cond_len + frames + K, 64)
                 # MUST mirror Zonos.generate's default exactly, or serving
@@ -345,7 +349,8 @@ class ContinuousBatcher:
                     if use_growth else None
                 )
                 init, loop = model._get_generate_parts(statics, first)
-                prefix_s = jax.ShapeDtypeStruct((2 * B, cond_len, d), jnp.bfloat16)
+                rows = (2 if use_cfg else 1) * B
+                prefix_s = jax.ShapeDtypeStruct((rows, cond_len, d), jnp.bfloat16)
                 pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
                 scale_s = jax.ShapeDtypeStruct((), jnp.float32)
                 key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
