@@ -383,6 +383,7 @@ class ContinuousBatcher:
         chunk_frames: int = 43,
         margin_frames: int = 32,
         sampling: SamplingParams | None = None,
+        use_cfg: bool = True,
     ) -> int:
         """Precompile what a live stream would otherwise compile mid-flight
         (measured as a 20+-second cadence stall on the first unwarmed
@@ -405,10 +406,11 @@ class ContinuousBatcher:
                 for frames in frame_buckets:
                     statics = GenerateStatics(
                         batch_size=B, cond_len=cond_len, prefix_audio_len=0,
-                        max_new_tokens=frames, sampling=sampling,
+                        max_new_tokens=frames, sampling=sampling, use_cfg=use_cfg,
                     )
                     init, loop = model._get_generate_parts(statics)  # no growth
-                    prefix_s = jax.ShapeDtypeStruct((2 * B, cond_len, d), jnp.bfloat16)
+                    rows = (2 if use_cfg else 1) * B
+                    prefix_s = jax.ShapeDtypeStruct((rows, cond_len, d), jnp.bfloat16)
                     pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
                     scale_s = jax.ShapeDtypeStruct((), jnp.float32)
                     key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
