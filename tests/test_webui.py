@@ -194,3 +194,36 @@ def test_unknown_job_404(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_async_longform_cancel(server):
+    """Cancel mid-long-form: the per-segment step callback raises, aborting
+    between/within segments; the job ends 'cancelled'."""
+    import time
+
+    body, ctype = _multipart(_base_fields(
+        longform="1", seconds="20",
+        text="First sentence of a long text. " * 10))
+    req = urllib.request.Request(server + "/synthesize_async", data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        jid = json.loads(r.read())["job"]
+
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        _, p = _get_json(server + f"/progress?job={jid}")
+        if p["step"] > 0 and not p["done"]:
+            break
+        if p["done"]:
+            raise AssertionError(f"long-form job finished before cancel: {p}")
+        time.sleep(0.1)
+    with urllib.request.urlopen(urllib.request.Request(
+            server + f"/cancel?job={jid}", data=b"", method="POST"),
+            timeout=60) as r:
+        assert r.status == 200
+    while time.monotonic() < deadline:
+        _, p = _get_json(server + f"/progress?job={jid}")
+        if p["done"]:
+            break
+        time.sleep(0.1)
+    assert p["done"] and p["error"] == "cancelled"
