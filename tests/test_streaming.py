@@ -77,3 +77,22 @@ def test_stream_batch_matches_full_decode_per_row(model):
     # rows really did share chunks: at least one yielded event batch carried
     # more than one row
     assert max(n_events_per_chunk) > 1
+
+
+def test_stream_cfg_free_matches_generate(model):
+    """cfg_scale=1.0 streaming uses the statically-halved program; the
+    concatenated stream must equal the non-streaming decode of the
+    fast-path generate's codes."""
+    prefix = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 4, 64)) * 0.1, jnp.bfloat16
+    )
+    kw = dict(max_new_tokens=24, seed=6, cfg_scale=1.0,
+              sampling_params=SamplingParams.greedy())
+    chunks = list(model.stream_generate(prefix, chunk_frames=8,
+                                        margin_frames=8, **kw))
+    streamed = np.concatenate(chunks)
+    codes = model.generate(prefix, progress_bar=False, **kw)[0]
+    full = np.asarray(model.autoencoder.decode(codes[None]))[0, 0]
+    assert streamed.shape == full.shape
+    scale = max(np.abs(full).max(), 1e-6)
+    np.testing.assert_allclose(streamed, full, atol=5e-3 * scale)
