@@ -120,3 +120,31 @@ def test_wrapper_decode_shapes():
     assert wav.shape == (1, 1, 5 * TINY.hop_length)
     wavs = ae.codes_to_wavs(codes)
     assert len(wavs) == 1 and wavs[0].shape[0] == 1
+
+
+def test_decoder_receptive_field_bound():
+    """The analytic receptive-field bound (decoder_receptive_field_frames)
+    must cover the decoder's EMPIRICAL support: perturbing one code frame
+    changes no sample further than `bound` frames away, and the support is
+    genuinely wide (> 6 frames), so streaming margins below the bound are
+    unsound.  Measured on the 44.1 kHz config: support reaches 10.11
+    frames; bound = 12 (see codec.py derivation)."""
+    import jax
+    from zonos_tpu.models.dac.codec import decoder_receptive_field_frames
+
+    cfg = DACConfig()
+    bound = decoder_receptive_field_frames(cfg)
+    assert bound == 12
+    params = init_dac_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    T, t = 40, 20
+    codes = rng.integers(0, cfg.codebook_size, size=(1, cfg.n_codebooks, T))
+    base = np.asarray(dac_decode(params, cfg, codes))[0, :, 0]
+    pert = codes.copy()
+    pert[:, :, t] = (pert[:, :, t] + 7) % cfg.codebook_size
+    diff = np.abs(base - np.asarray(dac_decode(params, cfg, pert))[0, :, 0])
+    nz = np.nonzero(diff > 1e-9)[0]
+    left = t - nz.min() / cfg.hop_length
+    right = nz.max() / cfg.hop_length - t
+    assert max(left, right) <= bound, (left, right, bound)
+    assert max(left, right) > 6  # the bound is not vacuous

@@ -263,3 +263,21 @@ def test_quantized_ssm_state_stays_close(monkeypatch):
         err = np.abs(got - ref).mean() / scale
         assert err < ceiling, f"{mode} ssm state diverged: rel err {err:.3f}"
         assert np.isfinite(got).all()
+
+
+def test_state_contract_mxu_matches_matvec(monkeypatch):
+    """The block-diagonal MXU formulation of the per-step state contraction
+    (ops/ssm.py:_state_contract) must equal the plain per-(b,h) matvec —
+    same math, different mapping; on CPU both are exact fp32, so they agree
+    to float tolerance.  Covers TB-divisibility fallbacks too."""
+    from zonos_tpu.ops.ssm import _state_contract
+
+    rng = np.random.default_rng(0)
+    for B_, H, P, N in [(16, 64, 8, 32), (4, 6, 8, 16), (1, 3, 4, 8)]:
+        state = jnp.asarray(rng.normal(size=(B_, H, P, N)), jnp.float32)
+        Ch = jnp.asarray(rng.normal(size=(B_, H, N)), jnp.float32)
+        monkeypatch.setenv("ZONOS_TPU_SSM_CONTRACT", "mxu")
+        y_mxu = np.asarray(_state_contract(state, Ch))
+        monkeypatch.setenv("ZONOS_TPU_SSM_CONTRACT", "vpu")
+        y_vpu = np.asarray(_state_contract(state, Ch))
+        np.testing.assert_allclose(y_mxu, y_vpu, rtol=1e-5, atol=1e-5)

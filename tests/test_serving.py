@@ -148,7 +148,7 @@ def test_concurrent_streams_share_batch_and_interleave(tiny_model):
             StreamRequest(
                 cond_dict=make_cond_dict(text=f"stream number {i}", speaker=_spk(i)),
                 sampling=SamplingParams.greedy(),
-                max_new_tokens=36, chunk_frames=8, margin_frames=8,
+                max_new_tokens=36, chunk_frames=8, margin_frames=12,
             )
             for i in range(2)
         ]
@@ -192,7 +192,7 @@ def test_late_stream_interleaves_chunkwise(tiny_model):
         long_req = StreamRequest(
             cond_dict=make_cond_dict(text="a long running stream", speaker=_spk(0)),
             sampling=SamplingParams.greedy(),
-            max_new_tokens=64, chunk_frames=8, margin_frames=8)
+            max_new_tokens=64, chunk_frames=8, margin_frames=12)
         h_long = batcher.submit_stream(long_req)
         long_times: list[float] = []
         late_first: list[float] = []
@@ -209,7 +209,7 @@ def test_late_stream_interleaves_chunkwise(tiny_model):
         late_req = StreamRequest(
             cond_dict=make_cond_dict(text="late arrival", speaker=_spk(1)),
             sampling=SamplingParams.greedy(),
-            max_new_tokens=16, chunk_frames=8, margin_frames=8)
+            max_new_tokens=16, chunk_frames=8, margin_frames=12)
         h_late = batcher.submit_stream(late_req)
         for _ in h_late.chunks(timeout=900):
             late_first.append(time.monotonic())
@@ -236,7 +236,7 @@ def test_stream_cancel_frees_batcher(tiny_model):
         h = batcher.submit_stream(StreamRequest(
             cond_dict=make_cond_dict(text="cancel me midway", speaker=_spk(0)),
             sampling=SamplingParams.greedy(),
-            max_new_tokens=64, chunk_frames=8, margin_frames=8))
+            max_new_tokens=64, chunk_frames=8, margin_frames=12))
         it = h.chunks(timeout=900)
         first = next(it)
         assert first.shape[-1] > 0
@@ -436,7 +436,7 @@ def test_warmup_streaming_precompiles(tiny_model):
                                 cond_pad_multiple=16, batch_buckets=(1, 2))
     try:
         n = batcher.warmup_streaming(cond_lens=(16,), max_new_tokens=32,
-                                     chunk_frames=8, margin_frames=8)
+                                     chunk_frames=8, margin_frames=12)
         # 2 buckets x (init+loop) + 2 buckets x 1 width x {B,1} rows
         assert n >= 6, n
     finally:

@@ -85,7 +85,9 @@ def main():
                     st = {"conv": st["conv"], **_store_ssm(h_new, st)}
                     y = h_new[..., 0]
                 else:
-                    y = jnp.einsum("bhpn,bhn->bhp", h_in, Bm)
+                    from zonos_tpu.ops.ssm import _state_contract
+                    # ZONOS_TPU_SSM_CONTRACT=vpu|mxu picks the formulation
+                    y = _state_contract(h_in, Bm)
                 x = (x + y.reshape(rows, 1, d_inner)[..., :d] * 1e-3).astype(jnp.bfloat16)
                 return (x, st)
             return jax.lax.fori_loop(0, n, body, (x, st))

@@ -28,6 +28,7 @@ from zonos_tpu.models.dac.codec import (
     DACConfig,
     dac_decode,
     dac_encode,
+    decoder_receptive_field_frames,
     init_dac_params,
 )
 
@@ -48,6 +49,8 @@ class DACAutoencoder:
         self.num_codebooks = self.cfg.n_codebooks
         self.sampling_rate = self.cfg.sampling_rate
         self.hop = self.cfg.hop_length
+        # minimum sound streaming margin (frames); see codec.py derivation
+        self.receptive_field_frames = decoder_receptive_field_frames(self.cfg)
         if params is None:
             params = self._load_params()
         self.params = params

@@ -192,6 +192,39 @@ def rvq_decode(params: dict, codes: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def decoder_receptive_field_frames(cfg: DACConfig) -> int:
+    """Upper bound on the decoder's receptive HALF-width, in code frames.
+
+    Streaming emission (models/tts.py:stream_generate_batch) vocodes a
+    window with ``margin_frames`` of code context on each side and emits
+    only the interior; the margin is sound iff it covers this bound.
+
+    Derivation (all convs 'same'-padded, so half-width = (k-1)/2 * dilation
+    at each layer's own resolution):
+
+    - decoder conv1: k=7 at code-frame rate -> +-3 frames
+    - each upsampling block: transposed conv k=2*stride (<= +-2 steps at
+      the block's INPUT resolution, conservatively), then three residual
+      units k=7 with dilations 1/3/9 -> +-(3+9+27) = +-39 steps at the
+      block's OUTPUT resolution
+    - final conv2: k=7 at audio rate -> +-3 samples
+
+    For the 44.1 kHz config (hop 512, up ratios 8/8/4/2) this sums to
+    ~5,636 audio samples ~= 11.01 frames -> 12.  Measured empirically
+    (tests/test_dac.py::test_decoder_receptive_field_bound): perturbing one
+    code frame changes samples up to 10.11 frames away, inside the bound.
+    """
+    res_half = sum((7 - 1) * d // 2 for d in (1, 3, 9))  # 39 steps/block
+    half = 3 * cfg.hop_length  # decoder conv1
+    cur = cfg.hop_length  # audio samples per step at the current resolution
+    for stride in cfg.upsampling_ratios:
+        half += 2 * cur  # transposed conv k=2*stride
+        cur //= stride
+        half += res_half * cur
+    half += 3  # final conv2
+    return -(-half // cfg.hop_length)
+
+
 def dac_decode_latents(params: dict, cfg: DACConfig, latents: jnp.ndarray) -> jnp.ndarray:
     """quantized latents [B, T, H] -> waveform [B, T*512, 1] in [-1, 1]."""
     p = params["decoder"]

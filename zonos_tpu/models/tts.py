@@ -728,8 +728,12 @@ class Zonos:
         Each yielded sample is *final*: the vocoder is convolutional, so a
         window is decoded with ``margin_frames`` of code context on both
         sides and only the interior is emitted — the concatenation equals
-        the non-streaming decode of the same codes (the margin must cover
-        the DAC decoder's receptive field; 32 frames ≈ 0.37 s is ample).
+        the non-streaming decode of the same codes.  The margin must cover
+        the DAC decoder's receptive half-width — 12 code frames for the
+        44.1 kHz config (analytic bound in
+        ``models/dac/codec.py:decoder_receptive_field_frames``; measured
+        10.11 frames) — and margins below it raise ``ValueError``.  The
+        default 32 frames ≈ 0.37 s is ample.
 
         Not in the reference (its closest feature is the per-step progress
         callback, zonos/model.py:430-432); loudness normalization and fades
@@ -765,6 +769,7 @@ class Zonos:
         margin_frames: int = 32,
         batch_size: int = 1,
         step_limits=None,
+        active_rows=None,
     ):
         """Batched streaming synthesis: N concurrent streams ride ONE decode
         program (the loop is already batched — only emission is per-row).
@@ -775,7 +780,10 @@ class Zonos:
 
         Emission parity: steady-state chunks are vocoded batched from a
         window that carries ≥ ``margin_frames`` of *real* code context on
-        both sides, so interiors equal the full decode.  A row's FINAL chunk
+        both sides, so interiors equal the full decode — sound iff
+        ``margin_frames`` ≥ the DAC decoder's receptive half-width
+        (``self.autoencoder.receptive_field_frames``, 12 for the 44.1 kHz
+        config; enforced below).  A row's FINAL chunk
         is vocoded per-row on exactly ``codes[:end]`` — no fake right
         context — so the concatenation per row is sample-identical to the
         non-streaming decode of that row's codes (tests/test_streaming.py).
@@ -784,11 +792,21 @@ class Zonos:
         generator, so a caller can serialize chip access per-chunk (e.g. the
         serving batcher's ``device_lock``) instead of per-stream —
         concurrent stream groups interleave at chunk granularity.
+
+        ``active_rows``: optional bool mask [B]; False rows (bucket padding)
+        produce no events and no vocode work.
         """
         if prefix_conditioning.shape[0] != 2 * batch_size:
             raise ValueError(
                 f"prefix_conditioning rows ({prefix_conditioning.shape[0]}) "
                 f"!= 2*batch_size ({2 * batch_size})"
+            )
+        rf = self.autoencoder.receptive_field_frames
+        if margin_frames < rf:
+            raise ValueError(
+                f"margin_frames={margin_frames} is below the DAC decoder's "
+                f"receptive half-width ({rf} frames) — emitted chunks would "
+                f"not be final (see decoder_receptive_field_frames)"
             )
         sampling = sampling_params
         if sampling is None:
@@ -837,6 +855,11 @@ class Zonos:
         emitted = np.zeros((B,), np.int64)  # frames emitted, post-prefix
         ends = np.full((B,), -1, np.int64)  # final length once known
         row_done = np.zeros((B,), bool)
+        if active_rows is not None:
+            # bucket-padding rows (serving): never vocode them — each padded
+            # final would be a fresh unwarmed DAC compile whose output the
+            # caller discards anyway
+            row_done = ~np.asarray(active_rows, bool)
 
         def finalized_codes():
             """[B, K, avail] codes reverted from the delay buffer (final,

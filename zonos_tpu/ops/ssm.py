@@ -112,6 +112,47 @@ def ssd_chunked(
     return y, h_final
 
 
+def _state_contract(state: jnp.ndarray, Ch: jnp.ndarray) -> jnp.ndarray:
+    """y[b,h,p] = Σ_n state[b,h,p,n]·C[b,h,n] — the per-step SSM output
+    contraction, reformulated for the MXU at large batch.
+
+    As a per-(b,h) matvec the N-reduction is VPU cross-lane work (N sits on
+    lanes, which the storage layout wants) and XLA cannot restructure it:
+    measured 0.558 ms/layer at flagship batch 64 — the floor that capped
+    guidance-on hybrid decode at ~30 RTF (docs/PERFORMANCE.md).  Block-
+    diagonal trick: group TB (b,h) pairs and compute
+
+        Z[g, t, u·P+p] = Σ_n C[g,t,n] · state[g,u,p,n]
+
+    — a [TB, N] × [N, TB·P] batched matmul that runs the reduction on the
+    systolic array, at TB× the FLOPs (~2 GFLOP — noise next to the MXU's
+    197 TFLOP/s).  The wanted diagonal (u == t) is taken by a one-hot
+    contraction over the SECOND-MINOR axes, so nothing new pads to 128
+    lanes.  Gated to BH ≥ 512: at small batch decode is weight-bound and
+    the exact-fp32 VPU matvec is kept (also the path CPU parity tests pin);
+    ``ZONOS_TPU_SSM_CONTRACT={auto,mxu,vpu}`` overrides for probes, and
+    tests/test_hybrid.py asserts the two forms agree.
+    """
+    import os
+
+    B_, H, P, N = state.shape
+    BH = B_ * H
+    mode = os.environ.get("ZONOS_TPU_SSM_CONTRACT", "auto")
+    use_mxu = {"auto": BH >= 512, "mxu": True, "vpu": False}[mode]
+    TB = 8
+    while BH % TB:
+        TB //= 2
+    if not use_mxu or TB == 1:
+        return jnp.einsum("bhpn,bhn->bhp", state, Ch)
+    g = BH // TB
+    S_ = state.reshape(g, TB * P, N)
+    C_ = Ch.reshape(g, TB, N)
+    Z = jnp.einsum("gmn,gtn->gtm", S_, C_)  # batched MXU dot, m = u·P+p
+    Zr = Z.reshape(g, TB, TB, P)
+    eye = jnp.eye(TB, dtype=Z.dtype)
+    return jnp.einsum("gtup,tu->gtp", Zr, eye).reshape(B_, H, P)
+
+
 def ssd_decode_step(
     x: jnp.ndarray,  # [B, H, P]
     dt: jnp.ndarray,  # [B, H]
@@ -127,22 +168,18 @@ def ssd_decode_step(
         y = C·(dA·s + dt·x⊗B) = dA·(C·s) + (B·C)·dt·x
     — same algebra, expressed so the [B,H,P,N] state has one reducing
     consumer (C·s) and one mapping consumer (decay+update) over the same
-    buffer.  Measured neutral on v5e at batch 64 (XLA schedules the two
-    state passes at the same cost as update-then-contract), but the form is
-    kept: it is the layout a fused kernel needs (single read, single write),
-    and it removes the [B,H,P,N] ``upd`` intermediate from the naive form.
-    The state IS the dominant HBM traffic of large-batch hybrid decode
-    (~134 MB/layer fp32 at batch 128 on the flagship, read+written every
-    step) — the lever that pays is shrinking its storage
-    (``ZONOS_TPU_SSM_STATE``, models/hybrid.py): fp32 17.1 -> f8 30.6 RTF
-    at batch 64 (flagship scale; docs/PERFORMANCE.md has the full
-    precision ladder and the breakdown of the remaining compute floor)."""
-    H = x.shape[1]
-    Bh = jnp.repeat(Bm, H // Bm.shape[1], axis=1)  # [B, H, N]
-    Ch = jnp.repeat(Cm, H // Cm.shape[1], axis=1)
+    buffer.  The reducing consumer runs on the MXU at large batch
+    (``_state_contract``); the update is pure map work.  The state IS the
+    dominant HBM traffic of large-batch hybrid decode (~134 MB/layer fp32
+    at batch 128 on the flagship, read+written every step) — storage is
+    shrunk via ``ZONOS_TPU_SSM_STATE`` (models/hybrid.py): fp32 17.1 -> f8
+    30.6 RTF at batch 64 pre-MXU-contraction (docs/PERFORMANCE.md has the
+    precision ladder and floor breakdown)."""
+    Bh = jnp.repeat(Bm, x.shape[1] // Bm.shape[1], axis=1)  # [B, H, N]
+    Ch = jnp.repeat(Cm, x.shape[1] // Cm.shape[1], axis=1)
     dA = jnp.exp(dt * A[None, :])  # [B, H]
     xdt = x * dt[..., None]  # [B, H, P]
-    y_state = jnp.einsum("bhpn,bhn->bhp", state, Ch)  # C·s_old
+    y_state = _state_contract(state, Ch)  # C·s_old
     bc = jnp.einsum("bhn,bhn->bh", Bh, Ch)  # B·C (scalar per head)
     y = dA[..., None] * y_state + bc[..., None] * xdt + x * D[None, :, None]
     state = state * dA[..., None, None] + jnp.einsum("bhp,bhn->bhpn", xdt, Bh)

@@ -237,6 +237,30 @@ def program_frames_bucket(n: int) -> int:
     return MAX_FRAMES if n > 2048 else find_multiple(n, 512)
 
 
+def _startup_widths(chunk_frames: int, margin_frames: int, K: int) -> set[int]:
+    """Replay stream_generate_batch's steady-emission arithmetic (no EOS)
+    to enumerate the UNBUCKETED vocode widths of a stream's first chunks:
+    while available frames < one 32-bucket past the window start, bucket_w0
+    clamps the start to 0 and the width is the raw available length.
+    Deterministic in (chunk_frames, margin_frames, num_codebooks):
+    avail after n chunks = 1 + n*chunk_frames - K."""
+    widths: set[int] = set()
+    emitted = 0
+    for n in range(1, 256):
+        avail = 1 + n * chunk_frames - K
+        if avail - margin_frames <= emitted:
+            continue
+        w0_raw = max(0, emitted - margin_frames)
+        bucket = -(-(avail - w0_raw) // 32) * 32
+        w0 = max(0, avail - bucket)
+        width = avail - w0
+        if width % 32 == 0:
+            break  # reached the bucketed steady state
+        widths.add(width)
+        emitted = avail - margin_frames
+    return widths
+
+
 class PendingResult:
     """Future for one submitted request."""
 
@@ -423,10 +447,16 @@ class ContinuousBatcher:
                                jax.ShapeDtypeStruct((), jnp.int32)).compile()
                     count += 2
             # vocode windows: every 32-frame width up to the steady window,
-            # at the batched (B rows) and per-row-final (1 row) batch dims
+            # at the batched (B rows) and per-row-final (1 row) batch dims —
+            # PLUS the deterministic unbucketed start-up widths: until
+            # enough frames exist, bucket_w0's window start clamps to 0 and
+            # the width is the full available length (35, 78, 121 at the
+            # defaults), each of which would otherwise be a live compile
             steady = -(-(chunk_frames + 2 * margin_frames) // 32) * 32
+            widths = set(range(32, steady + 32, 32))
+            widths |= _startup_widths(chunk_frames, margin_frames, K)
             ae = model.autoencoder
-            for width in range(32, steady + 32, 32):
+            for width in sorted(widths):
                 for rows in {B, 1}:
                     ae._decode_jit.lower(
                         ae.params,
@@ -640,6 +670,7 @@ class ContinuousBatcher:
                 step_limits=limits,
                 chunk_frames=chunk_frames,
                 margin_frames=margin_frames,
+                active_rows=[True] * B + [False] * (Bp - B),
             )
             audio_s = 0.0
             try:

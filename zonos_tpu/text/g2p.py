@@ -221,7 +221,9 @@ def _english_morphology(lw: str) -> list[str] | None:
     if lw.endswith("iness") and (stem := _lex(lw[:-5] + "y")):
         return stem + ["N", "AH0", "S"]
     if lw.endswith("es"):
-        for c in _stem_candidates(lw, 2):
+        # silent-e stems drop only the 's' (uses -> use); checked first so
+        # "uses" doesn't resolve to "us" + es (mirrors the -ed ordering)
+        for c in [lw[:-1]] + _stem_candidates(lw, 2):
             if (stem := _lex(c)) is not None:
                 return _add_s(stem)
     if lw.endswith("s") and not lw.endswith("ss"):
