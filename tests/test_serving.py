@@ -466,3 +466,100 @@ def test_cfg_free_requests_through_batcher(tiny_model):
         assert s["batches"] == 2, f"cfg=1 and cfg=2 must not share a batch: {s}"
     finally:
         batcher.close()
+
+
+# ---------------------------------------------------------------------------
+# Backpressure / admission control
+# ---------------------------------------------------------------------------
+
+
+def test_admission_rejects_when_full(tiny_model):
+    """Past max_queue in-flight requests, submit() sheds load immediately
+    with ServerOverloaded (the server's 503) instead of queueing unboundedly;
+    once the admitted requests drain, admission reopens."""
+    import time
+
+    from zonos_tpu.serving.batching import ServerOverloaded
+
+    b = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=5.0,
+                          batch_buckets=(1, 2, 4), max_queue=3)
+    try:
+        cd = make_cond_dict(text="Shed me", speaker=_spk(0))
+        admitted = [b.submit(TTSRequest(cond_dict=cd, max_new_tokens=12,
+                                        sampling=SamplingParams.greedy()))
+                    for _ in range(3)]
+        t0 = time.monotonic()
+        with pytest.raises(ServerOverloaded) as exc:
+            b.submit(TTSRequest(cond_dict=cd, max_new_tokens=12,
+                                sampling=SamplingParams.greedy()))
+        assert time.monotonic() - t0 < 0.5  # rejection is immediate
+        assert exc.value.retry_after >= 1.0
+        for p in admitted:
+            p.wait(timeout=300)  # admitted requests all complete
+        assert b.snapshot()["rejected"] == 1
+        # queue drained -> inflight back to 0 -> admission reopens
+        p = b.submit(TTSRequest(cond_dict=cd, max_new_tokens=12,
+                                sampling=SamplingParams.greedy()))
+        p.wait(timeout=300)
+    finally:
+        b.close()
+
+
+def test_burst_sheds_fast_no_stuck_clients(tiny_model):
+    """A 12-request burst against max_queue=4: rejects resolve in
+    milliseconds, every admitted request completes, and nobody hangs."""
+    import time
+
+    from zonos_tpu.serving.batching import ServerOverloaded
+
+    b = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=10.0,
+                          batch_buckets=(1, 2, 4), max_queue=4)
+    try:
+        cd = make_cond_dict(text="Burst", speaker=_spk(0))
+        outcomes = [None] * 12
+
+        def client(i):
+            t0 = time.monotonic()
+            try:
+                p = b.submit(TTSRequest(cond_dict=cd, max_new_tokens=12,
+                                        sampling=SamplingParams.greedy()))
+                p.wait(timeout=300)
+                outcomes[i] = ("ok", time.monotonic() - t0)
+            except ServerOverloaded:
+                outcomes[i] = ("shed", time.monotonic() - t0)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(not t.is_alive() for t in threads)  # no stuck clients
+        kinds = [o[0] for o in outcomes]
+        assert kinds.count("shed") >= 1 and kinds.count("ok") >= 4
+        assert all(o[1] < 0.5 for o in outcomes if o[0] == "shed")
+        snap = b.snapshot()
+        assert snap["completed"] == kinds.count("ok")
+        assert snap["rejected"] == kinds.count("shed")
+    finally:
+        b.close()
+
+
+def test_deadline_expired_in_queue(tiny_model):
+    """A request whose deadline passes while queued fails with TimeoutError
+    and never occupies a device batch."""
+    b = ContinuousBatcher(tiny_model, max_batch=2, max_wait_ms=5.0,
+                          batch_buckets=(1, 2), max_queue=8)
+    try:
+        cd = make_cond_dict(text="Too late", speaker=_spk(0))
+        # one long request occupies the device; the expired one sits queued
+        slow = b.submit(TTSRequest(cond_dict=cd, max_new_tokens=24,
+                                   sampling=SamplingParams.greedy()))
+        doomed = b.submit(TTSRequest(cond_dict=cd, max_new_tokens=12,
+                                     deadline_s=0.0,
+                                     sampling=SamplingParams.greedy()))
+        with pytest.raises(TimeoutError):
+            doomed.wait(timeout=300)
+        slow.wait(timeout=300)
+        assert b.snapshot()["expired"] >= 1
+    finally:
+        b.close()

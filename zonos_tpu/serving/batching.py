@@ -139,6 +139,18 @@ class BatchKey:
     stream: tuple | None = None
 
 
+class ServerOverloaded(RuntimeError):
+    """Admission rejected: the request queue is at capacity.  The server
+    maps this to HTTP 503 with a Retry-After header — shedding load fast
+    instead of stalling every client behind an unbounded queue."""
+
+    def __init__(self, depth: int, limit: int, retry_after: float):
+        super().__init__(
+            f"server overloaded: {depth} requests in flight (limit {limit})"
+        )
+        self.retry_after = retry_after
+
+
 @dataclasses.dataclass
 class TTSRequest:
     cond_dict: dict  # make_cond_dict output (one text)
@@ -151,6 +163,11 @@ class TTSRequest:
     # requests need this: a per-segment ~232 ms log fade-out and silence
     # trim would land at every seam, and per-segment loudness would step.
     raw_decode: bool = False
+    # Per-request deadline, seconds from submit.  A request still queued at
+    # its deadline is failed with TimeoutError instead of occupying a device
+    # batch; a streaming request past it is cancelled mid-flight.  None =
+    # no deadline.
+    deadline_s: float | None = None
 
     @property
     def key(self) -> BatchKey:
@@ -190,6 +207,8 @@ class StreamHandle:
         self._cancelled = threading.Event()
         self._submitted = time.monotonic()
         self.first_chunk_s: float | None = None  # TTFA, set by the batcher
+        self._deadline: float | None = None  # absolute monotonic, from submit
+        self._on_done = None  # batcher inflight accounting (called once)
 
     def cancel(self):
         self._cancelled.set()
@@ -206,6 +225,9 @@ class StreamHandle:
         return self._cancelled.is_set()
 
     def _put(self, item):
+        if item is self._DONE and self._on_done is not None:
+            cb, self._on_done = self._on_done, None
+            cb()
         self._q.put(item)
 
     def chunks(self, timeout: float | None = 600.0):
@@ -268,9 +290,14 @@ class PendingResult:
         self._event = threading.Event()
         self._wav: np.ndarray | None = None
         self._error: BaseException | None = None
+        self._deadline: float | None = None  # absolute monotonic
+        self._on_done = None  # batcher inflight accounting (called once)
 
     def _set(self, wav=None, error=None):
         self._wav, self._error = wav, error
+        if self._on_done is not None:
+            cb, self._on_done = self._on_done, None
+            cb()
         self._event.set()
 
     def wait(self, timeout: float | None = None) -> np.ndarray:
@@ -294,11 +321,17 @@ class ContinuousBatcher:
         cond_pad_multiple: int = 32,
         batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
         device_lock: threading.Lock | None = None,
+        max_queue: int = 64,
     ):
         self.model = model
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.cond_pad_multiple = cond_pad_multiple
+        # admission bound: requests in flight (queued + generating) beyond
+        # which submit()/submit_stream() raise ServerOverloaded (HTTP 503)
+        # instead of stalling every later client behind an unbounded queue
+        self.max_queue = max_queue
+        self._inflight = 0
         # serializes device programs against other chip users (the server's
         # streaming endpoint shares its lock through this parameter)
         self.device_lock = device_lock or threading.Lock()
@@ -316,6 +349,8 @@ class ContinuousBatcher:
             "audio_seconds": 0.0,
             "generate_seconds": 0.0,
             "streams": 0,
+            "rejected": 0,  # admission-control 503s
+            "expired": 0,  # deadline_s elapsed before device work started
         }
         self._ttfa: list[float] = []  # stream submit -> first chunk, s (ring)
         self._stream_threads: list[threading.Thread] = []
@@ -465,11 +500,31 @@ class ContinuousBatcher:
                     count += 1
         return count
 
+    def _admit(self, request, result) -> None:
+        """Admission control: count the request in flight or raise
+        ServerOverloaded (done state decrements via the result's _on_done,
+        which fires exactly once on every completion path)."""
+        with self._stats_lock:
+            if self._inflight >= self.max_queue:
+                self.stats["rejected"] += 1
+                lat = sorted(self._latencies)
+                retry = lat[len(lat) // 2] if lat else 1.0
+                raise ServerOverloaded(self._inflight, self.max_queue,
+                                       retry_after=max(1.0, retry))
+            self._inflight += 1
+            self.stats["requests"] += 1
+        result._on_done = self._request_done
+        if request.deadline_s is not None:
+            result._deadline = result._submitted + float(request.deadline_s)
+
+    def _request_done(self) -> None:
+        with self._stats_lock:
+            self._inflight -= 1
+
     def submit(self, request: TTSRequest) -> PendingResult:
         pending = PendingResult()
         pending._submitted = time.monotonic()
-        with self._stats_lock:
-            self.stats["requests"] += 1
+        self._admit(request, pending)
         self._q.put((request, pending))
         return pending
 
@@ -482,8 +537,7 @@ class ContinuousBatcher:
         batch window share a device batch; separate stream groups (and
         non-streaming batches) interleave between decode chunks."""
         handle = StreamHandle()
-        with self._stats_lock:
-            self.stats["requests"] += 1
+        self._admit(request, handle)
         self._q.put((request, handle))
         return handle
 
@@ -546,6 +600,24 @@ class ContinuousBatcher:
                 return b
         return self.batch_buckets[-1]
 
+    def _drop_expired(self, batch: list) -> list:
+        """Fail queued items whose deadline already passed instead of
+        spending a device batch on results nobody is waiting for."""
+        now = time.monotonic()
+        keep = []
+        for item in batch:
+            _, pending = item
+            dl = pending._deadline
+            if dl is not None and now > dl:
+                pending._set(error=TimeoutError(
+                    "deadline_s exceeded before generation started"))
+                with self._stats_lock:
+                    self.stats["expired"] += 1
+                    self.stats["failed"] += 1
+            else:
+                keep.append(item)
+        return keep
+
     def _validate(self, batch: list) -> list:
         # per-request validation first, so one malformed request (bad
         # emotion length, missing required key, multi-text cond) fails only
@@ -579,7 +651,7 @@ class ContinuousBatcher:
             self._stream_threads.append(t)
             t.start()
             return
-        batch = self._validate(batch)
+        batch = self._validate(self._drop_expired(batch))
         if not batch:
             return
         try:
@@ -645,7 +717,7 @@ class ContinuousBatcher:
         of waiting seconds for the stream to finish — the round-1/round-2
         whole-stream ``device_lock`` hold is gone.  The cadence cost is
         bounded by the co-tenant's own chunk size."""
-        batch = self._validate(batch)
+        batch = self._validate(self._drop_expired(batch))
         if not batch:
             return
         handles: list[StreamHandle] = [h for _, h in batch]
@@ -673,8 +745,20 @@ class ContinuousBatcher:
                 active_rows=[True] * B + [False] * (Bp - B),
             )
             audio_s = 0.0
+            expired: set[int] = set()
             try:
                 while True:
+                    now = time.monotonic()
+                    for i, h in enumerate(handles):
+                        # mid-flight deadline: unblock the client and stop
+                        # delivering; the row cannot leave the compiled
+                        # batch, but once EVERY row is cancelled/expired the
+                        # group closes and frees the chip
+                        if (i not in expired and h._deadline is not None
+                                and now > h._deadline and not h.cancelled):
+                            expired.add(i)
+                            h.cancel()
+                            h._put(TimeoutError("deadline_s exceeded mid-stream"))
                     if self._stop.is_set() or all(h.cancelled for h in handles):
                         break  # shutdown / nobody listening: free the chip
                     with self.device_lock:  # ONE decode chunk + vocode

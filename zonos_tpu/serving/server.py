@@ -32,7 +32,12 @@ import numpy as np
 
 from zonos_tpu.conditioning import make_cond_dict
 from zonos_tpu.ops.sampling import SamplingParams
-from zonos_tpu.serving.batching import ContinuousBatcher, StreamRequest, TTSRequest
+from zonos_tpu.serving.batching import (
+    ContinuousBatcher,
+    ServerOverloaded,
+    StreamRequest,
+    TTSRequest,
+)
 
 MAX_FRAMES = 86 * 30  # model hard cap: 30 s of audio (zonos/model.py:229)
 
@@ -108,12 +113,14 @@ class ServerState:
         sampling = SamplingParams(**body.get("sampling", {}))
         max_seconds = float(body.get("max_seconds", 30.0))
         frames = max(9, min(MAX_FRAMES, int(max_seconds * 86)))
+        deadline = body.get("deadline_s")
         return TTSRequest(
             cond_dict=self.cond_dict_from_json(body),
             sampling=sampling,
             cfg_scale=float(body.get("cfg_scale", 2.0)),
             seed=int(body.get("seed", 423)),
             max_new_tokens=frames,
+            deadline_s=None if deadline is None else float(deadline),
         )
 
     def stream_request_from_json(self, body: dict) -> StreamRequest:
@@ -124,6 +131,7 @@ class ServerState:
             cfg_scale=r.cfg_scale,
             seed=r.seed,
             max_new_tokens=r.max_new_tokens,
+            deadline_s=r.deadline_s,
             chunk_frames=int(body.get("chunk_frames", 43)),
             margin_frames=int(body.get("margin_frames", 32)),
         )
@@ -216,6 +224,18 @@ def make_handler(state: ServerState):
                     self._error(404, "not found")
             except (ValueError, AssertionError, json.JSONDecodeError) as e:
                 self._error(400, str(e))
+            except ServerOverloaded as e:
+                # load shedding: tell the client when to come back instead
+                # of stalling it behind a saturated queue
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", str(int(round(e.retry_after))))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except TimeoutError as e:
+                self._error(504, str(e))
             except BrokenPipeError:
                 pass
             except Exception as e:  # noqa: BLE001
@@ -333,6 +353,8 @@ def main(argv=None) -> None:
     ap.add_argument("--port", type=int, default=8600)
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    ap.add_argument("--max_queue", type=int, default=64,
+                    help="in-flight request bound; beyond it requests get 503 + Retry-After")
     ap.add_argument("--int8", action="store_true", help="quantize weights for serving")
     ap.add_argument("--kv_int8", action="store_true",
                     help="int8 KV cache (lossy; halves cache HBM traffic at large batch)")
@@ -372,7 +394,8 @@ def main(argv=None) -> None:
     if args.int8:
         model.quantize_int8()
     state = ServerState(model, model_name=args.model,
-                        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                        max_queue=args.max_queue)
     if args.warmup:
         print("warming decode programs ...")
         n = state.batcher.warmup()
