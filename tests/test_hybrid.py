@@ -267,9 +267,11 @@ def test_quantized_ssm_state_stays_close(monkeypatch):
 
 def test_state_contract_mxu_matches_matvec(monkeypatch):
     """The block-diagonal MXU formulation of the per-step state contraction
-    (ops/ssm.py:_state_contract) must equal the plain per-(b,h) matvec —
-    same math, different mapping; on CPU both are exact fp32, so they agree
-    to float tolerance.  Covers TB-divisibility fallbacks too."""
+    (ops/ssm.py:_state_contract) must equal the plain per-(b,h) matvec up to
+    bf16 operand rounding (the MXU path casts operands to bf16 with fp32
+    accumulation — the same precision class as every serving matmul; for
+    f8/bf16-stored states the cast is lossless).  Covers TB-divisibility
+    fallbacks too."""
     from zonos_tpu.ops.ssm import _state_contract
 
     rng = np.random.default_rng(0)
@@ -280,4 +282,14 @@ def test_state_contract_mxu_matches_matvec(monkeypatch):
         y_mxu = np.asarray(_state_contract(state, Ch))
         monkeypatch.setenv("ZONOS_TPU_SSM_CONTRACT", "vpu")
         y_vpu = np.asarray(_state_contract(state, Ch))
+        scale = np.abs(y_vpu).max()
+        np.testing.assert_allclose(y_mxu, y_vpu, atol=2e-2 * scale)
+        # with bf16-exact inputs (the f8/bf16 stored-state case) the two
+        # formulations agree to float tolerance
+        sb = jnp.asarray(np.asarray(state, np.float32)).astype(jnp.bfloat16).astype(jnp.float32)
+        cb = jnp.asarray(np.asarray(Ch, np.float32)).astype(jnp.bfloat16).astype(jnp.float32)
+        monkeypatch.setenv("ZONOS_TPU_SSM_CONTRACT", "mxu")
+        y_mxu = np.asarray(_state_contract(sb, cb))
+        monkeypatch.setenv("ZONOS_TPU_SSM_CONTRACT", "vpu")
+        y_vpu = np.asarray(_state_contract(sb, cb))
         np.testing.assert_allclose(y_mxu, y_vpu, rtol=1e-5, atol=1e-5)

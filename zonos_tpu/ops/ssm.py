@@ -145,9 +145,17 @@ def _state_contract(state: jnp.ndarray, Ch: jnp.ndarray) -> jnp.ndarray:
     if not use_mxu or TB == 1:
         return jnp.einsum("bhpn,bhn->bhp", state, Ch)
     g = BH // TB
-    S_ = state.reshape(g, TB * P, N)
-    C_ = Ch.reshape(g, TB, N)
-    Z = jnp.einsum("gmn,gtn->gtm", S_, C_)  # batched MXU dot, m = u·P+p
+    # Feed the dot bf16 OPERANDS (fp32 accumulation): a dot cannot consume a
+    # fused convert, so an fp32 operand forces XLA to materialize the
+    # upcast of the whole state (268 MB/layer at flagship batch 64 — slower
+    # than the VPU floor, measured).  With bf16 the convert chain from bf16
+    # storage cancels entirely (the dot reads the stored buffer) and f8
+    # storage pays one half-size materialization.  Same precision class as
+    # every other serving matmul (bf16 multiply, fp32 accumulate).
+    S_ = state.astype(jnp.bfloat16).reshape(g, TB * P, N)
+    C_ = Ch.astype(jnp.bfloat16).reshape(g, TB, N)
+    Z = jnp.einsum("gmn,gtn->gtm", S_, C_,
+                   preferred_element_type=jnp.float32)  # MXU dot, m = u·P+p
     Zr = Z.reshape(g, TB, TB, P)
     eye = jnp.eye(TB, dtype=Z.dtype)
     return jnp.einsum("gtup,tu->gtp", Zr, eye).reshape(B_, H, P)

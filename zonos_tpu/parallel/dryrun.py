@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from zonos_tpu.config import TRANSFORMER_CONFIG_DICT, ZonosConfig
+from zonos_tpu.config import HYBRID_CONFIG_DICT, TRANSFORMER_CONFIG_DICT, ZonosConfig
 from zonos_tpu.parallel.mesh import make_mesh
 from zonos_tpu.parallel.sharding import param_shardings, shard_params
 from zonos_tpu.parallel.train import make_optimizer, make_train_step
@@ -87,3 +87,45 @@ def run_dryrun(n_devices: int) -> None:
     )
     assert int(offset) > 0 and np.asarray(delayed).shape[0] == B
     print(f"dryrun ok: {n_devices} devices, mesh {dict(mesh.shape)}, loss {loss_val:.3f}")
+
+    # sharded STREAMING decode on the same mesh: the host-driven chunk loop
+    # (init/loop programs + windowed vocode) must compile and execute with
+    # the batch sharded along `data` — the serving streaming path, not just
+    # the one-shot generate program
+    model.params = params2
+    model._generate_cache.clear()
+    events = []
+    for ev in model.stream_generate_batch(
+        jnp.concatenate([cond, cond], axis=0), max_new_tokens=12,
+        chunk_frames=6, margin_frames=16, batch_size=B,
+        sampling_params=SamplingParams.greedy(),
+    ):
+        events.extend(ev)
+    assert events and all(np.isfinite(w).all() for _, w in events)
+    print(f"dryrun streaming ok: {len(events)} chunk events, batch {B} on data axis")
+
+    # HYBRID backbone (Mamba2 + interleaved attention) sharded generate:
+    # TP attention/MLP along `model`, mamba params replicated, batch along
+    # `data` (parallel/sharding.py hybrid specs)
+    dh = copy.deepcopy(HYBRID_CONFIG_DICT)
+    dh["backbone"].update(
+        {
+            "d_model": 64,
+            "n_layer": 4,
+            "attn_layer_idx": [1, 3],
+            "attn_mlp_d_intermediate": 128,
+            "ssm_cfg": {"layer": "Mamba2", "d_state": 16, "expand": 2, "headdim": 16},
+            "attn_cfg": {"num_heads": 4, "num_heads_kv": 2, "head_dim": 16,
+                         "rotary_emb_dim": 8},
+        }
+    )
+    hyb = Zonos(ZonosConfig.from_dict(dh), seed=0).shard(mesh)
+    hcond = jax.device_put(
+        jax.random.normal(jax.random.key(2), (2 * B, 6, 64), jnp.bfloat16),
+        NamedSharding(mesh, P("data", None, None)),
+    )
+    out = hyb.generate(hcond, batch_size=B, max_new_tokens=6, seed=0,
+                       sampling_params=SamplingParams.greedy(), progress_bar=False)
+    assert len(out) == B and all(o.shape[0] == 9 for o in out)
+    print(f"dryrun hybrid ok: sharded Mamba2+attention generate, batch {B}, "
+          f"mesh {dict(mesh.shape)}")
