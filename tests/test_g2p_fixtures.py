@@ -26,11 +26,15 @@ LANGS = [k for k in FIXTURES if not k.startswith("_")]
 # that pushes past these fails loudly.
 PER_CEILING = {
     # en-us tightened 0.20 -> 0.10 after the supplementary lexicon +
-    # morphology/latinate-stress engine (measured 0.061, r3)
-    "en-us": 0.10, "es": 0.16, "de": 0.12, "it": 0.20, "fr-fr": 0.22,
-    "pt": 0.10, "ja": 0.08, "ko": 0.22, "ru": 0.08, "el": 0.08, "hi": 0.26,
+    # morphology/latinate-stress engine (measured 0.061, r3); fr/it/hi
+    # tightened after the r4 word-phonology pass (c/g softening + espeak
+    # tilde nasals + closed-syllable ɛ for fr; silent-i clusters +
+    # zz/zi affricates + uo + intervocalic s for it; lax ɪ/ʊ + contextual
+    # anusvara for hi — measured 0.000 / 0.017 / 0.000)
+    "en-us": 0.10, "es": 0.16, "de": 0.12, "it": 0.06, "fr-fr": 0.05,
+    "pt": 0.10, "ja": 0.08, "ko": 0.22, "ru": 0.08, "el": 0.08, "hi": 0.05,
 }
-OVERALL_CEILING = 0.12
+OVERALL_CEILING = 0.07  # measured 0.037 (r4)
 
 
 def _pairs(lang):

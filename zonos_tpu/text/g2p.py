@@ -319,25 +319,42 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
         ("e", "ɛ"), ("i", "ɪ"), ("o", "ɔ"), ("u", "ʊ"), ("qu", "kv"),
     ],
     "it": [
-        ("gli", "ʎ"), ("gn", "ɲ"), ("sci", "ʃi"), ("sce", "ʃe"), ("ch", "k"),
-        ("gh", "ɡ"), ("ci", "ʧi"), ("ce", "ʧe"), ("gi", "ʤi"), ("ge", "ʤe"),
-        ("qu", "kw"), ("z", "ts"), ("g", "ɡ"), ("c", "k"), ("h", ""),
+        # ci/gi/gli/sci before a vowel: the i is a silent palatal marker
+        # (giorno -> dʒorno, grazie -> ttsje), kept as /i/ only when it
+        # carries the syllable (vicino -> vitʃino)
+        ("glia", "ʎa"), ("glie", "ʎe"), ("glio", "ʎo"), ("gliu", "ʎu"),
+        ("gli", "ʎ"), ("gn", "ɲ"),
+        ("scia", "ʃa"), ("scie", "ʃe"), ("scio", "ʃo"), ("sciu", "ʃu"),
+        ("sci", "ʃi"), ("sce", "ʃe"), ("ch", "k"), ("gh", "ɡ"),
+        ("cia", "ʧa"), ("cio", "ʧo"), ("ciu", "ʧu"), ("ci", "ʧi"),
+        ("ce", "ʧe"),
+        ("gia", "ʤa"), ("gio", "ʤo"), ("giu", "ʤu"), ("gi", "ʤi"),
+        ("ge", "ʤe"),
+        # z is the affricate ts; zz and intervocalic -zi- geminate (pizza ->
+        # pittsa, grazie -> ɡrattsje — espeak's raddoppiamento contexts)
+        ("zia", "ttsja"), ("zie", "ttsje"), ("zio", "ttsjo"),
+        ("zz", "tts"), ("z", "ts"),
+        # uo: falling diphthong (buono -> bwɔno)
+        ("uo", "wɔ"), ("qu", "kw"), ("ss", "s"), ("ẕ", "z"),
+        ("g", "ɡ"), ("c", "k"), ("h", ""),
         ("a", "a"), ("e", "e"), ("i", "i"),
         ("o", "o"), ("u", "u"), ("à", "ˈa"), ("è", "ˈɛ"), ("é", "ˈe"),
         ("ì", "ˈi"), ("ò", "ˈɔ"), ("ù", "ˈu"),
     ],
-    # nasal vowels are rendered vowel+n: the combining tilde (ɔ̃) is not in
-    # the model's symbol table, so ɔn is the closest speakable approximation
+    # nasal vowels arrive pre-rewritten by _word_pre as vowel + combining
+    # tilde (what espeak emits; the tilde maps to UNK at tokenization — the
+    # same ids the reference pipeline produces, conditioning.py:146-156 has
+    # no tilde either); the tilde passes through the table via its identity
+    # entry
     "fr": [
         ("eau", "o"), ("ou", "u"), ("oi", "wa"), ("ch", "ʃ"), ("gn", "ɲ"),
-        ("ai", "ɛ"), ("au", "o"), ("eu", "ø"), ("on", "ɔn"), ("an", "ɑn"),
-        ("en", "ɑn"), ("in", "ɛn"), ("un", "œn"), ("é", "e"), ("è", "ɛ"),
+        ("ai", "ɛ"), ("au", "o"), ("eu", "ø"), ("é", "e"), ("è", "ɛ"),
         ("ê", "ɛ"), ("à", "a"), ("â", "ɑ"), ("î", "i"), ("ï", "i"),
         ("ô", "o"), ("û", "y"), ("ù", "y"), ("œ", "œ"), ("ç", "s"),
         ("ll", "l"), ("tt", "t"), ("ss", "s"), ("mm", "m"), ("nn", "n"),
         ("pp", "p"), ("rr", "r"), ("j", "ʒ"), ("g", "ɡ"), ("u", "y"),
         ("e", "ə"), ("a", "a"), ("i", "i"), ("o", "ɔ"), ("qu", "k"),
-        ("h", ""),
+        ("c", "k"), ("h", ""), ("̃", "̃"),
     ],
     "pt": [
         ("ch", "ʃ"), ("lh", "ʎ"), ("nh", "ɲ"), ("ão", "ɐw"), ("õe", "ojn"),
@@ -357,10 +374,12 @@ _WORD_LEXICONS: dict[str, dict[str, str]] = {
     "fr": {
         "est": "ɛ", "et": "e", "es": "ɛ", "aux": "o", "eux": "ø",
         "les": "le", "des": "de", "mes": "me", "tes": "te", "ses": "se",
-        "un": "œn", "une": "yn", "je": "ʒə", "vous": "vu", "nous": "nu",
+        "un": "œ̃", "une": "yn", "je": "ʒə", "vous": "vu", "nous": "nu",
         "ils": "il", "elles": "ɛl", "tout": "tu", "tous": "tus",
         "pas": "pa", "plaît": "plɛ", "monsieur": "məsjø", "oui": "wi",
-        "temps": "tɑn", "beaucoup": "boku", "deux": "dø", "trois": "tʁwa",
+        "temps": "tɑ̃", "beaucoup": "boku", "deux": "dø", "trois": "tʁwa",
+        "en": "ɑ̃", "on": "ɔ̃", "dans": "dɑ̃", "sans": "sɑ̃", "bien": "bjɛ̃",
+        "très": "tʁɛ", "avec": "avɛk", "chez": "ʃe", "mais": "mɛ",
     },
     # function words where espeak's output departs from the letter tables
     # (closed-syllable vowel quality, vocalized final r)
@@ -377,6 +396,11 @@ _WORD_LEXICONS: dict[str, dict[str, str]] = {
     },
 }
 _FR_SILENT_FINALS = "estdxzp"
+_FR_NASAL_MAP = {
+    "oin": "wɛ̃", "ain": "ɛ̃", "ein": "ɛ̃", "ien": "jɛ̃",
+    "on": "ɔ̃", "om": "ɔ̃", "an": "ɑ̃", "am": "ɑ̃", "en": "ɑ̃", "em": "ɑ̃",
+    "in": "ɛ̃", "im": "ɛ̃", "un": "œ̃", "yn": "ɛ̃",
+}
 
 
 def _word_pre(word: str, lang: str) -> str:
@@ -386,12 +410,27 @@ def _word_pre(word: str, lang: str) -> str:
     ``_phonemic_word_to_ipa`` passes unmatched alphabetic characters
     through verbatim, so injected phones survive the table pass."""
     if lang == "fr" and len(word) > 2:
+        # soften c/g before front vowels FIRST (the conditioning e may be
+        # stripped as silent below): merci -> mersi, mange -> mɑ̃ʒ
+        word = re.sub(r"c(?=[eiyéèê])", "s", word)
+        word = re.sub(r"g(?=[eiéèê])", "ʒ", word)
         if word.endswith("es") and len(word) > 3:
             word = word[:-2]  # -es plural: both letters silent
+        elif word.endswith("er") and len(word) > 3:
+            word = word[:-2] + "e"  # -er infinitives/nouns: /e/ (parler)
         elif word[-1] in _FR_SILENT_FINALS and word[-1] != word[-2]:
             word = word[:-1]
         if word and word[-1] == "e" and len(word) > 2:
             word = word[:-1]  # silent final e (after a first strip: -tes etc.)
+        # nasal vowels (espeak style, combining tilde) when the n/m closes
+        # the syllable — not before a vowel or another nasal (bonne, animal)
+        word = re.sub(
+            r"(oin|ain|ein|ien|on|om|an|am|en|em|in|im|un|yn)"
+            r"(?=[bcdfɡgjklpqrstvwxzʒʃs]|$)",
+            lambda m: _FR_NASAL_MAP[m.group(1)], word)
+        # closed final syllable: e before a pronounced final consonant
+        # cluster is open-mid (belle -> bɛl, mer -> mɛr)
+        word = re.sub(r"e(?=[bdfklmnprstvzʒʃ]{1,2}$)", "ɛ", word)
     if lang == "de":
         # -chen diminutive keeps ç regardless of the preceding letter
         if len(word) > 4 and word.endswith("chen"):
@@ -413,6 +452,11 @@ def _word_pre(word: str, lang: str) -> str:
         word = re.sub(r"b(?=[st]?$)", "p", word)
         word = re.sub(r"d(?=[st]?$)", "t", word)
         word = re.sub(r"(?<!ŋ)g(?=[st]?$)", "k", word)
+    if lang == "it":
+        # intervocalic single s voices to z (casa -> kaza); ss stays /s/
+        # via its own table entry.  The marker ẕ avoids the table's
+        # orthographic z -> ts affricate rule
+        word = re.sub(r"(?<=[aeiou])s(?=[aeiou])", "ẕ", word)
     if lang == "pt":
         # European Portuguese reductions (espeak 'pt' is pt-PT):
         # coda s -> ʃ (estás -> ...taʃ), final unstressed o -> u, e -> ɨ;

@@ -382,27 +382,34 @@ def el_to_ipa(text: str) -> str:
 # Devanagari (Hindi)
 # ---------------------------------------------------------------------------
 
+# Symbol choices follow espeak-ng's hi voice (the parity target — it writes
+# tʃ/dʒ not tɕ/dʑ, v not ʋ, h not ɦ, and lax ɪ/ʊ for the short vowels).
 _HI_CONS = {
     "क": "k", "ख": "kʰ", "ग": "ɡ", "घ": "ɡʱ", "ङ": "ŋ",
-    "च": "tɕ", "छ": "tɕʰ", "ज": "dʑ", "झ": "dʑʱ", "ञ": "ɲ",
+    "च": "tʃ", "छ": "tʃʰ", "ज": "dʒ", "झ": "dʒʱ", "ञ": "ɲ",
     "ट": "ʈ", "ठ": "ʈʰ", "ड": "ɖ", "ढ": "ɖʱ", "ण": "ɳ",
     "त": "t", "थ": "tʰ", "द": "d", "ध": "dʱ", "न": "n",
     "प": "p", "फ": "pʰ", "ब": "b", "भ": "bʱ", "म": "m",
-    "य": "j", "र": "r", "ल": "l", "व": "ʋ",
-    "श": "ʃ", "ष": "ʂ", "स": "s", "ह": "ɦ",
+    "य": "j", "र": "r", "ल": "l", "व": "v",
+    "श": "ʃ", "ष": "ʂ", "स": "s", "ह": "h",
     "ड़": "ɽ", "ढ़": "ɽʱ", "क़": "q", "ख़": "x", "ग़": "ɣ", "ज़": "z",
     "फ़": "f", "ऱ": "r", "य़": "j",
 }
 _HI_IND_VOWELS = {
-    "अ": "ə", "आ": "aː", "इ": "i", "ई": "iː", "उ": "u", "ऊ": "uː",
-    "ऋ": "ri", "ए": "eː", "ऐ": "ɛː", "ओ": "oː", "औ": "ɔː", "ऑ": "ɔ",
+    "अ": "ə", "आ": "aː", "इ": "ɪ", "ई": "iː", "उ": "ʊ", "ऊ": "uː",
+    "ऋ": "rɪ", "ए": "eː", "ऐ": "ɛː", "ओ": "oː", "औ": "ɔː", "ऑ": "ɔ",
 }
 _HI_MATRAS = {
-    "ा": "aː", "ि": "i", "ी": "iː", "ु": "u", "ू": "uː", "ृ": "ri",
+    "ा": "aː", "ि": "ɪ", "ी": "iː", "ु": "ʊ", "ू": "uː", "ृ": "rɪ",
     "े": "eː", "ै": "ɛː", "ो": "oː", "ौ": "ɔː", "ॉ": "ɔ",
 }
 _HI_VIRAMA = "्"
-_HI_NASAL = {"ं": "n", "ँ": "n", "ः": "h"}
+# anusvara/candrabindu resolve by context in hi_to_ipa: a homorganic nasal
+# stop before a consonant, vowel nasalization (combining tilde — what
+# espeak emits; the tokenizer maps it to UNK exactly as the reference
+# pipeline does) otherwise
+_HI_NASAL = {"ं": "̃", "ँ": "̃", "ः": "h"}
+_HI_LABIAL = set("pbm") | {"प", "फ", "ब", "भ", "म"}
 
 
 def hi_to_ipa(text: str) -> str:
@@ -434,6 +441,14 @@ def hi_to_ipa(text: str) -> str:
             continue
         if ch in _HI_IND_VOWELS:
             out.append(_HI_IND_VOWELS[ch])
+        elif ch in ("ं", "ँ"):
+            # homorganic nasal before a stop (हिंदी -> hɪndiː, n/m by place);
+            # plain vowel nasalization elsewhere (हैं -> hɛ̃ː)
+            nxt = text[i + 1] if i + 1 < n else ""
+            if nxt in _HI_CONS:
+                out.append("m" if nxt in _HI_LABIAL else "n")
+            else:
+                out.append("̃")
         elif ch in _HI_NASAL:
             out.append(_HI_NASAL[ch])
         elif ch == "़" or ch == _HI_VIRAMA:
