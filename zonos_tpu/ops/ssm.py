@@ -114,30 +114,39 @@ def ssd_chunked(
 
 def _state_contract(state: jnp.ndarray, Ch: jnp.ndarray) -> jnp.ndarray:
     """y[b,h,p] = Σ_n state[b,h,p,n]·C[b,h,n] — the per-step SSM output
-    contraction, reformulated for the MXU at large batch.
+    contraction.  Default: the plain per-(b,h) matvec (VPU lane reduction).
 
-    As a per-(b,h) matvec the N-reduction is VPU cross-lane work (N sits on
-    lanes, which the storage layout wants) and XLA cannot restructure it:
-    measured 0.558 ms/layer at flagship batch 64 — the floor that capped
-    guidance-on hybrid decode at ~30 RTF (docs/PERFORMANCE.md).  Block-
-    diagonal trick: group TB (b,h) pairs and compute
+    An MXU reformulation (``ZONOS_TPU_SSM_CONTRACT=mxu``) was the r3
+    verdict's named escape hatch for the hybrid's ~30-RTF guidance-on
+    ceiling, hypothesized to beat the "VPU cross-lane floor" (0.558
+    ms/layer at flagship batch 64).  Head-batched block-diagonal form:
+    group TB (b,h) pairs and compute
 
         Z[g, t, u·P+p] = Σ_n C[g,t,n] · state[g,u,p,n]
 
-    — a [TB, N] × [N, TB·P] batched matmul that runs the reduction on the
-    systolic array, at TB× the FLOPs (~2 GFLOP — noise next to the MXU's
-    197 TFLOP/s).  The wanted diagonal (u == t) is taken by a one-hot
-    contraction over the SECOND-MINOR axes, so nothing new pads to 128
-    lanes.  Gated to BH ≥ 512: at small batch decode is weight-bound and
-    the exact-fp32 VPU matvec is kept (also the path CPU parity tests pin);
-    ``ZONOS_TPU_SSM_CONTRACT={auto,mxu,vpu}`` overrides for probes, and
+    — a [TB, N] × [N, TB·P] batched matmul (TB× the FLOPs, ~2 GFLOP —
+    noise), diagonal (u == t) via a one-hot contraction over SECOND-MINOR
+    axes so nothing pads to 128 lanes; bf16 operands because a dot cannot
+    consume a fused convert (an fp32 operand materializes a 268 MB upcast —
+    measured slower still).
+
+    **Measured (v5e, flagship batch 64, f8 state, ms/layer)**: contraction
+    alone 0.551 MXU vs 0.581 VPU — parity; FULL state pipeline 0.854 MXU vs
+    0.699 VPU — a 22% LOSS (bf16 state: 1.055 vs 0.833).  Mechanism: the
+    dot splits the state's two consumers (reduce + update) into separate
+    HBM passes, losing the multi-output fusion that lets XLA share one
+    state read, and the block-diagonal Z adds ~17 MB/layer of traffic.
+    Every formulation (VPU matvec, MXU dot, f8/bf16/fp32 storage) converges
+    to ~0.55-0.85 ms/layer — the floor is the state's per-value trip
+    through the compute units, not the cross-lane reduce op count, so the
+    MXU cannot buy it back.  Kept as an opt-in measured negative result;
     tests/test_hybrid.py asserts the two forms agree.
     """
     import os
 
     B_, H, P, N = state.shape
     BH = B_ * H
-    mode = os.environ.get("ZONOS_TPU_SSM_CONTRACT", "auto")
+    mode = os.environ.get("ZONOS_TPU_SSM_CONTRACT", "vpu")
     use_mxu = {"auto": BH >= 512, "mxu": True, "vpu": False}[mode]
     TB = 8
     while BH % TB:
