@@ -12,9 +12,9 @@ from __future__ import annotations
 # choice, affricate ligature vs digraph, ASCII-vs-IPA g, and length/stress
 # marks (which espeak emits inconsistently across versions).
 _FOLD = str.maketrans({
-    "ɹ": "r", "ɾ": "r", "ʁ": "r", "ɐ": "ə", "g": "ɡ",
+    "ɹ": "r", "ɾ": "r", "ʁ": "r", "ɐ": "ə", "g": "ɡ", "ʋ": "v",
     "ˈ": None, "ˌ": None, "ː": None, "ˑ": None, "̃": None, "͡": None,
-    " ": None, "\t": None, "\n": None,
+    ".": None, " ": None, "\t": None, "\n": None,
 })
 _LIGATURES = [("ʧ", "tʃ"), ("ʤ", "dʒ"), ("ʦ", "ts"), ("ʣ", "dz")]
 _PUNCT = set(";:,.!?¡¿—…\"«»“”() *~-/\\&'")
@@ -39,6 +39,26 @@ def phoneme_error_rate(hyp: str, ref: str) -> float:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (rc != hc)))
         prev = cur
     return prev[-1] / len(r)
+
+
+def substring_per(needle: str, haystack: str) -> float:
+    """Best (lowest) edit distance of ``needle`` against any substring of
+    ``haystack``, / len(needle) — approximate word-in-sentence agreement.
+
+    Standard semi-global alignment: deletions from the haystack before the
+    match start and after the match end are free.  Used to cross-validate
+    the sentence-level espeak fixtures against independent per-word
+    dictionary IPA (tests/test_fixture_cross_validation.py)."""
+    n, h = normalize_ipa(needle), normalize_ipa(haystack)
+    if not n:
+        return 0.0
+    prev = [0] * (len(h) + 1)  # free leading haystack chars
+    for i, nc in enumerate(n, 1):
+        cur = [i]
+        for j, hc in enumerate(h, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (nc != hc)))
+        prev = cur
+    return min(prev) / len(n)  # free trailing haystack chars
 
 
 def corpus_per(pairs: list[tuple[str, str]]) -> float:
