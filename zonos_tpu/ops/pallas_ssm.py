@@ -42,14 +42,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _ssd_kernel(x_ref, dt_ref, da_ref, b_ref, c_ref, init_ref,
-                y_ref, fs_ref, h_ref, s_ref, *, n_heads: int):
+                y_ref, fs_ref, h_ref, s_ref, *, n_heads: int,
+                head_tile: int = 8):
     """One (batch, chunk) tile.
 
     x    [1, H, 1, Q, P]   dt/dA [1, 1, H, Q]   B/C [1, 1, Q, N]
     init [1, H, P, N]      y like x             fs [1, H, P, N]
     h    scratch [H, P, N] f32 — the running inter-chunk state.
     s    scratch [H, Q] f32 — within-chunk cumulative log-decay (staged in
-         a ref because the head loop may only *dynamically* index refs).
+         a ref because slices below may only *statically* index refs).
+
+    HEAD-BATCHED (r4, the r3 verdict's #9): the original per-head loop
+    worked on [1, Q] / [Q, Q]=[64, 64] tiles that use a fraction of the
+    8x128 lanes and measured 17x slower than the XLA twin.  Now each inner
+    iteration processes ``head_tile`` heads at once:
+
+    - intra-chunk: ONE [T·Q, T·Q] x [T·Q, P] dot with a block-diagonal
+      causal-masked weight (the cross-head quadrants are masked to -inf
+      BEFORE the exp — cross-head s-differences overflow otherwise);
+    - state update: B is shared across heads (G=1), so stacking heads in
+      COLUMNS gives the per-head blocks exactly: [Q, T·P] x [Q, N] -> one
+      dot, no cross terms;
+    - inter-chunk: full-cross [T·Q, N] x [T·P, N]ᵀ dot (T× the FLOPs —
+      noise), wanted diagonal blocks taken by static slices.
     """
     chunk_idx = pl.program_id(1)
 
@@ -63,7 +78,6 @@ def _ssd_kernel(x_ref, dt_ref, da_ref, b_ref, c_ref, init_ref,
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
     qj = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
-    causal = qi >= qj
     # within-chunk cumulative log-decay as a triangular matmul (Mosaic has
     # no cumsum lowering, and the MXU does this in one pass anyway)
     s_ref[...] = jnp.dot(da_ref[0, 0], (qi <= qj).astype(jnp.float32),
@@ -72,36 +86,65 @@ def _ssd_kernel(x_ref, dt_ref, da_ref, b_ref, c_ref, init_ref,
         Cg, Bg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    # static unroll over heads: every slice below is compile-time indexed
-    # (dynamic ref indexing made the Mosaic compile intractable)
-    for hd in range(n_heads):
-        sh = s_ref[hd : hd + 1, :]                              # [1, Q]
-        dth = dt_ref[0, 0, hd : hd + 1, :]                      # [1, Q]
-        xh = x_ref[0, hd, 0]                                    # [Q, P]
-        s_last = sh[:, Q - 1 :]                                 # [1, 1]
+    T = head_tile
+    while n_heads % T:
+        T //= 2
+    TQ, neg = T * Q, jnp.float32(-1e30)
+    # block-diagonal causal mask over the combined (head, time) index
+    ui = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ), 0)
+    vj = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ), 1)
+    same_head = (ui // Q) == (vj // Q)
+    causal2 = same_head & ((ui % Q) >= (vj % Q))
+    cb2 = jnp.where(causal2, _tile2(cb, T), 0.0)
 
-        # intra-chunk: y[i] = Σ_{j<=i} (C_i·B_j) e^{s_i - s_j} dt_j x_j
-        decay = jnp.exp(sh.T - sh)                              # [Q(i), Q(j)]
-        w = jnp.where(causal, cb * decay * dth, 0.0)
-        y_intra = jnp.dot(w, xh, preferred_element_type=jnp.float32)
+    for t in range(n_heads // T):
+        hs = slice(t * T, (t + 1) * T)
+        sh = s_ref[hs, :]                                       # [T, Q]
+        dth = dt_ref[0, 0, hs, :]                               # [T, Q]
+        xt = x_ref[0, hs, 0]                                    # [T, Q, P]
+        s_last = sh[:, Q - 1 :]                                 # [T, 1]
+        x2 = xt.reshape(TQ, xt.shape[-1])                       # [T·Q, P]
+        s_flat_i = sh.reshape(TQ, 1)                            # [T·Q, 1]
+        s_flat_j = sh.reshape(1, TQ)
 
-        # inter-chunk: y[i] += (C_i e^{s_i}) · h_before   (h: [P, N])
-        hh = h_ref[hd]
-        y_inter = jax.lax.dot_general(
-            Cg * jnp.exp(sh.T), hh, (((1,), (1,)), ((), ())),
+        # intra-chunk: w[ui, vj] = (C_i·B_j) e^{s_i - s_j} dt_j on the
+        # block diagonal; exp AFTER masking (s differs wildly across heads)
+        logdecay = jnp.where(causal2, s_flat_i - s_flat_j, neg)
+        w2 = cb2 * jnp.exp(logdecay) * dth.reshape(1, TQ)
+        y2 = jnp.dot(w2, x2, preferred_element_type=jnp.float32)  # [T·Q, P]
+
+        # inter-chunk: full-cross dot, diagonal blocks wanted
+        Cs2 = (Cg[None, :, :] * jnp.exp(sh)[:, :, None]).reshape(TQ, -1)
+        h2 = h_ref[hs].reshape(T * h_ref.shape[1], -1)          # [T·P, N]
+        yc = jax.lax.dot_general(                               # [T·Q, T·P]
+            Cs2, h2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                       # [Q, P]
-        y_ref[0, hd, 0] = y_intra + y_inter
+        )
+        P = xt.shape[-1]
+        for u in range(T):
+            y_ref[0, t * T + u, 0] = (
+                y2[u * Q : (u + 1) * Q]
+                + yc[u * Q : (u + 1) * Q, u * P : (u + 1) * P]
+            )
 
-        # state update: h = h e^{s_Q} + Σ_j e^{s_Q - s_j} dt_j x_j B_jᵀ
-        tail = jnp.exp(s_last - sh) * dth                       # [1, Q]
-        S_h = jax.lax.dot_general(
-            xh * tail.T, Bg, (((0,), (0,)), ((), ())),
+        # state update: B shared -> stack heads in columns, one dot
+        tail = jnp.exp(s_last - sh) * dth                       # [T, Q]
+        xtail = xt * tail[:, :, None]                           # [T, Q, P]
+        xcols = xtail.transpose(1, 0, 2).reshape(Q, T * P)      # [Q, T·P]
+        S2 = jax.lax.dot_general(                               # [T·P, N]
+            xcols, Bg, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                       # [P, N]
-        h_ref[hd] = hh * jnp.exp(s_last[0, 0]) + S_h
+        )
+        h_ref[hs] = (h_ref[hs] * jnp.exp(s_last)[:, :, None]
+                     + S2.reshape(T, P, -1))
 
     fs_ref[0] = h_ref[...]
+
+
+def _tile2(m: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Tile a [Q, Q] matrix to [t·Q, t·Q] (block repetition)."""
+    Q = m.shape[0]
+    return jnp.broadcast_to(m[None, :, None, :], (t, Q, t, Q)).reshape(t * Q, t * Q)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
