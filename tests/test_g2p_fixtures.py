@@ -31,10 +31,10 @@ PER_CEILING = {
     # tilde nasals + closed-syllable ɛ for fr; silent-i clusters +
     # zz/zi affricates + uo + intervocalic s for it; lax ɪ/ʊ + contextual
     # anusvara for hi — measured 0.000 / 0.017 / 0.000)
-    "en-us": 0.10, "es": 0.16, "de": 0.12, "it": 0.06, "fr-fr": 0.05,
+    "en-us": 0.10, "es": 0.05, "de": 0.12, "it": 0.06, "fr-fr": 0.05,
     "pt": 0.10, "ja": 0.08, "ko": 0.22, "ru": 0.08, "el": 0.08, "hi": 0.05,
 }
-OVERALL_CEILING = 0.07  # measured 0.037 (r4)
+OVERALL_CEILING = 0.05  # measured 0.025 (r4)
 
 
 def _pairs(lang):

@@ -306,7 +306,13 @@ def _english_word_to_ipa(word: str) -> str:
 _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
     "es": [
         ("ch", "ʧ"), ("ll", "ʎ"), ("rr", "r"), ("qu", "k"), ("gue", "ɡe"),
-        ("gui", "ɡi"), ("ñ", "ɲ"), ("j", "x"), ("z", "θ"), ("v", "b"),
+        ("gui", "ɡi"), ("ñ", "ɲ"), ("j", "x"), ("z", "θ"),
+        # Castilian c before front vowels is θ; the i of -cia- is a glide
+        ("cia", "θja"), ("cie", "θje"), ("cio", "θjo"), ("ci", "θi"),
+        ("ce", "θe"),
+        # rising diphthongs (bueno -> bweno, tierra -> tjera)
+        ("ue", "we"), ("ua", "wa"), ("ui", "wi"), ("ie", "je"),
+        ("v", "b"),
         ("c", "k"), ("h", ""), ("y", "ʝ"), ("g", "ɡ"), ("a", "a"), ("e", "e"),
         ("i", "i"), ("o", "o"), ("u", "u"), ("ü", "u"), ("á", "ˈa"),
         ("é", "ˈe"), ("í", "ˈi"), ("ó", "ˈo"), ("ú", "ˈu"),
@@ -452,6 +458,13 @@ def _word_pre(word: str, lang: str) -> str:
         word = re.sub(r"b(?=[st]?$)", "p", word)
         word = re.sub(r"d(?=[st]?$)", "t", word)
         word = re.sub(r"(?<!ŋ)g(?=[st]?$)", "k", word)
+    if lang == "es":
+        # intervocalic lenition (espeak es house style): b/d/g between a
+        # vowel and a vowel/liquid soften to β/ð/ɣ (todo -> toðo, negro ->
+        # neɣɾo); word-initial stops stay stops
+        word = re.sub(r"(?<=[aeiouáéíóú])b(?=[aeiouáéíóúrl])", "β", word)
+        word = re.sub(r"(?<=[aeiouáéíóú])d(?=[aeiouáéíóúrl])", "ð", word)
+        word = re.sub(r"(?<=[aeiouáéíóú])g(?=[aeiouáéíóúrl])", "ɣ", word)
     if lang == "it":
         # intervocalic single s voices to z (casa -> kaza); ss stays /s/
         # via its own table entry.  The marker ẕ avoids the table's
