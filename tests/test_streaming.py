@@ -127,3 +127,37 @@ def test_stream_production_margin_matches_full_decode(model):
     assert streamed.shape == full.shape
     scale = max(np.abs(full).max(), 1e-6)
     np.testing.assert_allclose(streamed, full, atol=5e-3 * scale)
+
+
+def test_stream_vocode_widths_are_warmable(model, monkeypatch):
+    """Every DAC window width a live stream decodes must be in the set
+    warmup_streaming precompiles (steady 32-buckets + deterministic
+    startup widths) — otherwise first-stream traffic pays mid-stream XLA
+    compiles (ADVICE r3)."""
+    from zonos_tpu.serving.batching import _startup_widths
+
+    chunk_frames, margin_frames = 12, 16
+    K = model.config.num_codebooks
+    steady = -(-(chunk_frames + 2 * margin_frames) // 32) * 32
+    warmed = set(range(32, steady + 32, 32))
+    warmed |= _startup_widths(chunk_frames, margin_frames, K)
+
+    seen: list[int] = []
+    orig = model.autoencoder.decode
+
+    def spy(codes):
+        seen.append(int(codes.shape[2]))
+        return orig(codes)
+
+    monkeypatch.setattr(model.autoencoder, "decode", spy)
+    prefix = jnp.zeros((2, 4, 64), jnp.bfloat16)
+    list(model.stream_generate(prefix, max_new_tokens=64, seed=3,
+                               chunk_frames=chunk_frames,
+                               margin_frames=margin_frames,
+                               sampling_params=SamplingParams.greedy()))
+    assert seen
+    steady_widths = [w for w in seen[:-1]]
+    # all STEADY chunks must hit warmed widths; the final per-row chunk is
+    # vocoded on the row's exact end position (arbitrary width by design)
+    missed = [w for w in steady_widths if w not in warmed]
+    assert not missed, f"unwarmed stream vocode widths {missed} (warmed={sorted(warmed)})"
