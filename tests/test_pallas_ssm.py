@@ -59,3 +59,36 @@ def test_state_feeds_decode_step():
     y_ref, _ = ssd_decode_step(xs, dts, A, Bs, Cs, D, s_ref)
     y_got, _ = ssd_decode_step(xs, dts, A, Bs, Cs, D, s_got)
     np.testing.assert_allclose(np.asarray(y_got), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_state_step_matches_xla():
+    """The fused decode-state kernel (ops/pallas_state.py) must reproduce
+    the contraction and update halves of ssd_decode_step exactly (fp32) and
+    up to storage rounding (f8/bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zonos_tpu.ops.pallas_state import fused_state_step
+
+    rng = np.random.default_rng(0)
+    BH, P, N = 12, 8, 16
+    state = jnp.asarray(rng.normal(size=(BH, P, N)), jnp.float32)
+    Ch = jnp.asarray(rng.normal(size=(BH, N)), jnp.float32)
+    Bh = jnp.asarray(rng.normal(size=(BH, N)), jnp.float32)
+    dA = jnp.asarray(rng.uniform(0.5, 1.0, size=(BH, 1)), jnp.float32)
+    xdt = jnp.asarray(rng.normal(size=(BH, P)), jnp.float32)
+
+    y, ns = fused_state_step(state, Ch, Bh, dA, xdt, interpret=True)
+    y_ref = jnp.einsum("bpn,bn->bp", state, Ch)
+    ns_ref = state * dA[..., None] + xdt[..., None] * Bh[:, None, :]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns), np.asarray(ns_ref), rtol=1e-5, atol=1e-5)
+
+    for dt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        y2, ns2 = fused_state_step(state.astype(dt), Ch, Bh, dA, xdt,
+                                   interpret=True)
+        assert ns2.dtype == dt
+        scale = float(np.abs(np.asarray(y_ref)).max())
+        tol = 0.05 if dt == jnp.bfloat16 else 0.4
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref),
+                                   atol=tol * scale)

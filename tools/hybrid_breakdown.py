@@ -115,6 +115,32 @@ def main():
                 return (x, st)
             return jax.lax.fori_loop(0, n, body, (x, st))
         args = (x0, st0)
+    elif part == "state_fused":
+        # the r3 verdict's named escape hatch: ONE Pallas call fusing the
+        # contraction + update over a single VMEM-resident read/write of
+        # the raw stored state (ops/pallas_state.py).  Only no-scale modes
+        # (fp32/bf16/f8) — int8/int4 carry scale arrays the kernel skips.
+        from zonos_tpu.ops.pallas_state import fused_state_step
+
+        def chained(x, st):
+            def body(i, carry):
+                x, st = carry
+                xs = jnp.broadcast_to(x[:, 0, :1, None], (rows, H, P)).astype(jnp.float32)
+                dtv = jnp.broadcast_to(jnp.abs(x[:, 0, :1]), (rows, H)).astype(jnp.float32) * 1e-2 + 0.1
+                Bm = jnp.broadcast_to(x[:, 0, :1, None], (rows, H, N)).astype(jnp.float32)
+                dA = jnp.exp(dtv * -jnp.exp(lp["A_log"])[None, :])
+                BH = rows * H
+                y2, ns = fused_state_step(
+                    st["ssm"].reshape(BH, P, N), Bm.reshape(BH, N),
+                    Bm.reshape(BH, N), dA.reshape(BH, 1),
+                    (xs * dtv[..., None]).reshape(BH, P),
+                )
+                st = {"conv": st["conv"], "ssm": ns.reshape(rows, H, P, N)}
+                y = y2.reshape(rows, H, P)
+                x = (x + y.reshape(rows, 1, d_inner)[..., :d] * 1e-3).astype(jnp.bfloat16)
+                return (x, st)
+            return jax.lax.fori_loop(0, n, body, (x, st))
+        args = (x0, st0)
     elif part == "state":
         def chained(x, st):
             def body(i, carry):
