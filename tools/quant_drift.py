@@ -1,27 +1,29 @@
 """Long-horizon quantized-state drift on the real chip (VERDICT r3 #4).
 
 The f8-KV / f8-SSM serving defaults were justified by a 32-step feedback
-drift; real generations run 860-2580 steps.  This tool runs FULL-LENGTH
-greedy feedback decodes of the flagship hybrid (which exercises both the
-attention KV cache and the Mamba2 SSM states) under each storage mode, in
-lockstep with an fp32-state/bf16-KV reference, and reports:
+drift; real generations run 860-2580 steps.  Two protocols, both at
+flagship hybrid scale with int8 serving weights:
 
-- per-checkpoint mean relative error of the dequantized SSM states vs the
-  reference run's states (feedback drift: each run feeds back its OWN
-  sampled codes, so this is the real closed-loop error, not open-loop
-  requantization noise), and
-- the first step at which the greedy code sequences diverge (codes are
-  append-only, so one final buffer comparison finds it exactly).
+1. **Teacher-forced accumulation** (the primary evidence): both the
+   reference (fp32 SSM state, bf16 KV) and the quantized run step the FULL
+   hybrid backbone over the SAME input stream for T steps, caches carried
+   independently.  This isolates how storage rounding compounds through
+   the recurrence over thousands of steps — the contractivity claim
+   (dA < 1) predicts a plateau, not growth.  Reported: mean relative error
+   of the dequantized SSM states and of the backbone output at 128-step
+   checkpoints.
 
-Each run is the same one-loop decode program streaming uses
-(_get_generate_parts: no cache growth), stepped in chunks so state can be
-compared on-device between chunks; only scalars are fetched per
-checkpoint.
+2. **Closed-loop greedy divergence** (secondary): full `generate`-style
+   decode feeding back its own codes; reports the first step where greedy
+   codes diverge.  CAVEAT: on random weights the logit gaps are tiny, so
+   ANY perturbation flips an argmax almost immediately (measured: step 2
+   even for bf16 states) — the number is a property of random weights, not
+   of the storage mode; with trained checkpoints the gaps are real and
+   this becomes meaningful.  Kept for completeness.
 
 Usage: python tools/quant_drift.py [steps] [batch] [mode ...]
-  steps  default 2580 (the 30-s hard cap); 860 = the 10-s bench length
-  batch  user batch (CFG doubles rows), default 8
-  modes  e.g. f8:f8 f8:bf16 (kv_mode:ssm_mode); default both
+  steps default 2580 (the 30-s cap); modes like f8 bf16 int8 (SSM state;
+  KV is f8 for every quantized run).
 """
 
 from __future__ import annotations
@@ -48,88 +50,107 @@ def set_modes(kv: str, ssm: str) -> None:
 def main() -> None:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2580
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    modes = [tuple(m.split(":")) for m in sys.argv[3:]] or [("f8", "f8"), ("f8", "bf16")]
+    ssm_modes = sys.argv[3:] or ["f8", "bf16"]
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from zonos_tpu.config import HYBRID_CONFIG_DICT, ZonosConfig
-    from zonos_tpu.models.hybrid import _load_ssm, is_attn_layer
+    from zonos_tpu.models.hybrid import (
+        _load_ssm,
+        create_hybrid_cache,
+        hybrid_decode_step,
+        is_attn_layer,
+    )
     from zonos_tpu.models.tts import GenerateStatics, Zonos
     from zonos_tpu.ops.sampling import SamplingParams
 
     cfg = ZonosConfig.from_dict(HYBRID_CONFIG_DICT)
+    bb = cfg.backbone
     model = Zonos(cfg, seed=0)
-    model.quantize_int8()  # serving config — the regime the defaults target
-    d = cfg.backbone.d_model
-    cond_len = 32
-    prefix = jax.device_put(
-        jax.random.normal(jax.random.key(1), (2 * batch, cond_len, d), jnp.bfloat16)
-    )
-    statics = GenerateStatics(
-        batch_size=batch, cond_len=cond_len, prefix_audio_len=0,
-        max_new_tokens=steps, sampling=SamplingParams.greedy(), use_cfg=True,
-    )
-    pcodes = jnp.zeros((batch, cfg.num_codebooks, 0), jnp.int32)
-    scale = jnp.float32(2.0)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        key = jax.random.key(7)
-
-    mamba_layers = [i for i in range(cfg.backbone.n_layer)
-                    if not is_attn_layer(cfg.backbone, i)]
-
-    @jax.jit
-    def ssm_drift(cache_test, cache_ref):
-        """Mean relative error of dequantized SSM states, avg over layers."""
-        errs = []
-        for i in mamba_layers:
-            t = _load_ssm(cache_test[i])
-            r = _load_ssm(cache_ref[i])
-            errs.append(jnp.mean(jnp.abs(t - r) / (jnp.abs(r) + 1e-6)))
-        return jnp.mean(jnp.stack(errs))
-
-    def start(kv: str, ssm: str):
-        set_modes(kv, ssm)
-        init, loop = model._get_generate_parts(statics)
-        st = init(model.params, prefix, pcodes, scale, key)
-        return st, loop
-
+    model.quantize_int8()
+    params = model.params["backbone"]
+    d = bb.d_model
+    rows = 2 * batch  # CFG-doubled, as in serving
+    mamba_layers = [i for i in range(bb.n_layer) if not is_attn_layer(bb, i)]
+    base_key = jax.random.key(3)
     chunk = 128
-    ref_st, ref_loop = start("bf16", "fp32")
-    runs = []
-    for kv, ssm in modes:
-        st, loop = start(kv, ssm)
-        runs.append({"kv": kv, "ssm": ssm, "st": st, "loop": loop,
-                     "curve": []})
+
+    # ---- protocol 1: teacher-forced accumulation -------------------------
+    def run_forced(ssm_mode: str) -> list:
+        set_modes("f8" if ssm_mode != "fp32" else "bf16", ssm_mode)
+        cache_t = create_hybrid_cache(bb, rows, steps + 8)
+        set_modes("bf16", "fp32")
+        cache_r = create_hybrid_cache(bb, rows, steps + 8)
+
+        @jax.jit
+        def chunk_fn(cr, ct, t0):
+            def body(i, carry):
+                cr, ct, num, den = carry
+                x = jax.random.normal(jax.random.fold_in(base_key, t0 + i),
+                                      (rows, 1, d), jnp.bfloat16) * 0.1
+                yr, cr = hybrid_decode_step(bb, params, x, cr, t0 + i)
+                yt, ct = hybrid_decode_step(bb, params, x, ct, t0 + i)
+                num = num + jnp.sum(jnp.abs(yt.astype(jnp.float32) - yr.astype(jnp.float32)))
+                den = den + jnp.sum(jnp.abs(yr.astype(jnp.float32)))
+                return cr, ct, num, den
+            cr, ct, num, den = jax.lax.fori_loop(
+                0, chunk, body, (cr, ct, jnp.float32(0), jnp.float32(0)))
+            errs = [jnp.mean(jnp.abs(_load_ssm(ct[i]) - _load_ssm(cr[i]))
+                             / (jnp.abs(_load_ssm(cr[i])) + 1e-6))
+                    for i in mamba_layers]
+            return cr, ct, num / den, jnp.mean(jnp.stack(errs))
+
+        curve = []
+        t0 = 0
+        while t0 < steps:
+            cache_r, cache_t, out_err, state_err = chunk_fn(
+                cache_r, cache_t, jnp.int32(t0))
+            t0 += chunk
+            curve.append((t0, round(float(state_err), 4), round(float(out_err), 4)))
+        return curve
+
+    # ---- protocol 2: closed-loop greedy divergence -----------------------
+    def run_closed(ssm_mode: str):
+        cond_len = 32
+        prefix = jax.device_put(jax.random.normal(
+            jax.random.key(1), (rows, cond_len, d), jnp.bfloat16))
+        statics = GenerateStatics(
+            batch_size=batch, cond_len=cond_len, prefix_audio_len=0,
+            max_new_tokens=steps, sampling=SamplingParams.greedy(), use_cfg=True,
+        )
+        pcodes = jnp.zeros((batch, cfg.num_codebooks, 0), jnp.int32)
+        scale = jnp.float32(2.0)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key = jax.random.key(7)
+
+        def decode(kv, ssm):
+            set_modes(kv, ssm)
+            model._generate_cache.clear()
+            init, loop = model._get_generate_parts(statics)
+            st = init(model.params, prefix, pcodes, scale, key)
+            st = loop(model.params, st, scale, jnp.int32(steps))
+            return np.asarray(st["delayed"])
+
+        ref = decode("bf16", "fp32")
+        test = decode("f8", ssm_mode)
+        mism = np.nonzero((ref != test).any(axis=(0, 1)))[0]
+        return int(mism.min()) if mism.size else None
 
     t0 = time.perf_counter()
-    done = 0
-    while done < steps:
-        n = min(chunk, steps - done)
-        ref_st = ref_loop(model.params, ref_st, scale, jnp.int32(n))
-        for r in runs:
-            r["st"] = r["loop"](model.params, r["st"], scale, jnp.int32(n))
-            r["curve"].append(
-                (done + n, round(float(ssm_drift(r["st"]["cache"],
-                                                 ref_st["cache"])), 4))
-            )
-        done += n
-    wall = time.perf_counter() - t0
-
-    import numpy as np
-
-    ref_codes = np.asarray(ref_st["delayed"])
-    for r in runs:
-        codes = np.asarray(r["st"]["delayed"])
-        mism = np.nonzero((codes != ref_codes).any(axis=(0, 1)))[0]
-        # delayed-buffer column index ~ decode step (no audio prefix here)
-        div = int(mism.min()) if mism.size else None
+    for mode in ssm_modes:
+        curve = run_forced(mode)
+        div = run_closed(mode)
         print(json.dumps({
-            "kv": r["kv"], "ssm": r["ssm"], "steps": steps, "batch": batch,
-            "greedy_divergence_step": div,
-            "ssm_mean_rel_err": {str(s): e for s, e in r["curve"][::4] + r["curve"][-1:]},
-            "wall_s": round(wall, 1),
-        }))
+            "ssm": mode, "kv": "f8", "steps": steps, "rows": rows,
+            "teacher_forced": {
+                "checkpoints": {str(s): {"state_rel_err": se, "out_rel_err": oe}
+                                for s, se, oe in curve[:2] + curve[::8][1:] + curve[-1:]},
+            },
+            "closed_loop_greedy_divergence_step": div,
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":
