@@ -563,3 +563,32 @@ def test_deadline_expired_in_queue(tiny_model):
         assert b.snapshot()["expired"] >= 1
     finally:
         b.close()
+
+
+def test_stream_deadline_cancels_mid_flight(tiny_model):
+    """A streaming request whose deadline passes mid-stream is cancelled:
+    the client's chunk iterator raises TimeoutError promptly instead of
+    draining the rest of the generation."""
+    import time
+
+    from zonos_tpu.serving import StreamRequest
+
+    b = ContinuousBatcher(tiny_model, max_batch=2, max_wait_ms=5.0,
+                          cond_pad_multiple=16, batch_buckets=(1, 2))
+    try:
+        h = b.submit_stream(StreamRequest(
+            cond_dict=make_cond_dict(text="deadline mid stream", speaker=_spk(0)),
+            sampling=SamplingParams.greedy(),
+            max_new_tokens=256, chunk_frames=8, margin_frames=12,
+            deadline_s=2.0))
+        got, err = 0, None
+        t0 = time.monotonic()
+        try:
+            for _ in h.chunks(timeout=300):
+                got += 1
+        except TimeoutError as e:
+            err = e
+        assert err is not None, f"stream finished {got} chunks without deadline"
+        assert h.cancelled
+    finally:
+        b.close()
