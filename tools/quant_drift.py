@@ -83,19 +83,38 @@ def main() -> None:
     bb = cfg.backbone
     model = Zonos(cfg, seed=0)
     model.quantize_int8()
-    params = model.params["backbone"]
     d = bb.d_model
     rows = 2 * batch  # CFG-doubled, as in serving
-    mamba_layers = [i for i in range(bb.n_layer) if not is_attn_layer(bb, i)]
     base_key = jax.random.key(3)
     chunk = 128
 
+    # Protocol 1 runs at flagship WIDTH (d=2048, H=64, N=128 — the dims the
+    # storage modes quantize over) but reduced DEPTH: a 48-layer unrolled
+    # teacher-forced program exceeds the tunnel's remote-compile timeout
+    # (broken pipe at ~25 min, twice).  Per-layer drift mechanics are
+    # depth-independent; the closed-loop protocol below still runs the full
+    # flagship through the public generate path.
+    import copy
+
+    cfg_tf_d = copy.deepcopy(HYBRID_CONFIG_DICT)
+    cfg_tf_d["backbone"]["n_layer"] = 12
+    cfg_tf_d["backbone"]["attn_layer_idx"] = [5]
+    cfg_tf = ZonosConfig.from_dict(cfg_tf_d)
+    bb_tf = cfg_tf.backbone
+    model_tf = Zonos(cfg_tf, seed=0)
+    model_tf.quantize_int8()
+    params = model_tf.params["backbone"]
+    mamba_layers = [i for i in range(bb_tf.n_layer) if not is_attn_layer(bb_tf, i)]
+
     # ---- protocol 1: teacher-forced accumulation -------------------------
     def run_forced(ssm_mode: str) -> list:
+        # fixed allocation (30-s cap) regardless of `steps`, so every run
+        # length shares one compiled program via the persistent cache
+        s_max = 2588
         set_modes("f8" if ssm_mode != "fp32" else "bf16", ssm_mode)
-        cache_t = create_hybrid_cache(bb, rows, steps + 8)
+        cache_t = create_hybrid_cache(bb_tf, rows, s_max)
         set_modes("bf16", "fp32")
-        cache_r = create_hybrid_cache(bb, rows, steps + 8)
+        cache_r = create_hybrid_cache(bb_tf, rows, s_max)
 
         # one backbone per program: a single program holding BOTH runs (96
         # unrolled flagship layers) broke the tunnel's remote-compile
@@ -105,7 +124,7 @@ def main() -> None:
                 c, _ = carry
                 x = jax.random.normal(jax.random.fold_in(base_key, t0 + i),
                                       (rows, 1, d), jnp.bfloat16) * 0.1
-                y, c = hybrid_decode_step(bb, params, x, c, t0 + i)
+                y, c = hybrid_decode_step(bb_tf, params, x, c, t0 + i)
                 return c, y.astype(jnp.float32)  # checkpoint step's output
             z = jnp.zeros((rows, 1, d), jnp.float32)
             return jax.lax.fori_loop(0, chunk, body, (c, z))

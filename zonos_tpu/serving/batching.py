@@ -553,6 +553,9 @@ class ContinuousBatcher:
             lat = sorted(self._latencies)
             ttfa = sorted(self._ttfa)
         s["queue_depth"] = self._q.qsize()
+        with self._stats_lock:
+            s["inflight"] = self._inflight
+        s["max_queue"] = self.max_queue
         if lat:
             s["latency_p50_s"] = round(lat[len(lat) // 2], 3)
             s["latency_p95_s"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
