@@ -88,22 +88,8 @@ def main() -> None:
     base_key = jax.random.key(3)
     chunk = 128
 
-    # Protocol 1 runs at flagship WIDTH (d=2048, H=64, N=128 — the dims the
-    # storage modes quantize over) but reduced DEPTH: a 48-layer unrolled
-    # teacher-forced program exceeds the tunnel's remote-compile timeout
-    # (broken pipe at ~25 min, twice).  Per-layer drift mechanics are
-    # depth-independent; the closed-loop protocol below still runs the full
-    # flagship through the public generate path.
-    import copy
-
-    cfg_tf_d = copy.deepcopy(HYBRID_CONFIG_DICT)
-    cfg_tf_d["backbone"]["n_layer"] = 12
-    cfg_tf_d["backbone"]["attn_layer_idx"] = [5]
-    cfg_tf = ZonosConfig.from_dict(cfg_tf_d)
-    bb_tf = cfg_tf.backbone
-    model_tf = Zonos(cfg_tf, seed=0)
-    model_tf.quantize_int8()
-    params = model_tf.params["backbone"]
+    bb_tf = bb  # full flagship depth (params are ARGUMENTS — see below)
+    params = model.params["backbone"]
     mamba_layers = [i for i in range(bb_tf.n_layer) if not is_attn_layer(bb_tf, i)]
 
     # ---- protocol 1: teacher-forced accumulation -------------------------
@@ -116,15 +102,22 @@ def main() -> None:
         set_modes("bf16", "fp32")
         cache_r = create_hybrid_cache(bb_tf, rows, s_max)
 
-        # one backbone per program: a single program holding BOTH runs (96
-        # unrolled flagship layers) broke the tunnel's remote-compile
+        # one backbone per program (a program holding BOTH runs broke the
+        # tunnel's remote-compile), inputs precomputed outside the loop
+        # (threefry inside the body also stalled remote-compile)
         @jax.jit
-        def chunk_one(c, t0):
+        def make_inputs(t0):
+            return jax.random.normal(jax.random.fold_in(base_key, t0),
+                                     (chunk, rows, 1, d), jnp.bfloat16) * 0.1
+
+        # params as an ARGUMENT: closing over them bakes the weights into
+        # the program as constants and the tunnel's remote-compile rejects
+        # the request (HTTP 413) — the exact trap CLAUDE.md records
+        @jax.jit
+        def chunk_one(p, c, xs, t0):
             def body(i, carry):
                 c, _ = carry
-                x = jax.random.normal(jax.random.fold_in(base_key, t0 + i),
-                                      (rows, 1, d), jnp.bfloat16) * 0.1
-                y, c = hybrid_decode_step(bb_tf, params, x, c, t0 + i)
+                y, c = hybrid_decode_step(bb_tf, p, xs[i], c, t0 + i)
                 return c, y.astype(jnp.float32)  # checkpoint step's output
             z = jnp.zeros((rows, 1, d), jnp.float32)
             return jax.lax.fori_loop(0, chunk, body, (c, z))
@@ -140,8 +133,9 @@ def main() -> None:
         curve = []
         t0 = 0
         while t0 < steps:
-            cache_r, y_r = chunk_one(cache_r, jnp.int32(t0))
-            cache_t, y_t = chunk_one(cache_t, jnp.int32(t0))
+            xs = make_inputs(jnp.int32(t0))
+            cache_r, y_r = chunk_one(params, cache_r, xs, jnp.int32(t0))
+            cache_t, y_t = chunk_one(params, cache_t, xs, jnp.int32(t0))
             state_err, out_err = drift(cache_r, cache_t, y_r, y_t)
             t0 += chunk
             curve.append((t0, round(float(state_err), 4), round(float(out_err), 4)))
@@ -169,9 +163,10 @@ def main() -> None:
             st = loop(model.params, st, scale, jnp.int32(steps))
             return np.asarray(st["delayed"])
 
-        ref = decode("bf16", "fp32")
+        if not hasattr(run_closed, "_ref"):
+            run_closed._ref = decode("bf16", "fp32")
         test = decode("f8", ssm_mode)
-        mism = np.nonzero((ref != test).any(axis=(0, 1)))[0]
+        mism = np.nonzero((run_closed._ref != test).any(axis=(0, 1)))[0]
         return int(mism.min()) if mism.size else None
 
     t0 = time.perf_counter()
