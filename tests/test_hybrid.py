@@ -293,3 +293,44 @@ def test_state_contract_mxu_matches_matvec(monkeypatch):
         monkeypatch.setenv("ZONOS_TPU_SSM_CONTRACT", "vpu")
         y_vpu = np.asarray(_state_contract(sb, cb))
         np.testing.assert_allclose(y_mxu, y_vpu, rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_state_drift_plateaus(monkeypatch):
+    """Long-horizon no-growth envelope (VERDICT r3 #4): under teacher
+    forcing (same inputs, independent caches) the f8-state drift vs the
+    fp32-state run must PLATEAU — the contractive recurrence (dA < 1)
+    forgets rounding as fast as it forgets inputs — not compound.  Measured
+    flat at flagship scale over 2688 steps on the chip
+    (docs/PERFORMANCE.md r4); this pins the same envelope at test scale:
+    late-horizon drift must not exceed 1.6x the early plateau."""
+    cfg = _tiny_hybrid_cfg().backbone
+    params = init_hybrid_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    B_, S_max, T = 2, 420, 400
+    xs = np.asarray(
+        jax.random.normal(jax.random.key(2), (T, B_, 1, cfg.d_model), jnp.bfloat16)
+    ) * 0.1
+
+    def run(mode):
+        monkeypatch.setenv("ZONOS_TPU_SSM_STATE", mode)
+        cache = create_hybrid_cache(cfg, B_, S_max)
+        outs = []
+        for t in range(T):
+            y, cache = hybrid_decode_step(cfg, params, jnp.asarray(xs[t]), cache,
+                                          jnp.int32(t))
+            outs.append(np.asarray(y, np.float32))
+        return outs
+
+    ref = run("fp32")
+    got = run("f8")
+    scale = np.mean([np.abs(r).mean() for r in ref]) + 1e-6
+
+    def window_err(lo, hi):
+        return np.mean([np.abs(g - r).mean() for g, r in
+                        zip(got[lo:hi], ref[lo:hi])]) / scale
+
+    early = window_err(32, 96)    # plateau reached within ~one state lifetime
+    late = window_err(T - 64, T)  # 6x further out
+    assert late < 1.6 * early + 1e-3, (
+        f"f8 state drift grew over the horizon: early {early:.3f} late {late:.3f}"
+    )
+    assert np.isfinite(late) and late < 1.0

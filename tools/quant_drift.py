@@ -96,7 +96,7 @@ def main() -> None:
     def run_forced(ssm_mode: str) -> list:
         # fixed allocation (30-s cap) regardless of `steps`, so every run
         # length shares one compiled program via the persistent cache
-        s_max = 2588
+        s_max = -(-steps // chunk) * chunk + 8  # cover the chunk-rounded horizon
         set_modes("f8" if ssm_mode != "fp32" else "bf16", ssm_mode)
         cache_t = create_hybrid_cache(bb_tf, rows, s_max)
         set_modes("bf16", "fp32")
