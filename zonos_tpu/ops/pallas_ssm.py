@@ -89,62 +89,66 @@ def _ssd_kernel(x_ref, dt_ref, da_ref, b_ref, c_ref, init_ref,
     T = head_tile
     while n_heads % T:
         T //= 2
-    TQ, neg = T * Q, jnp.float32(-1e30)
-    # block-diagonal causal mask over the combined (head, time) index
-    ui = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ), 0)
-    vj = jax.lax.broadcasted_iota(jnp.int32, (TQ, TQ), 1)
-    same_head = (ui // Q) == (vj // Q)
-    causal2 = same_head & ((ui % Q) >= (vj % Q))
-    cb2 = jnp.where(causal2, _tile2(cb, T), 0.0)
+    qi2 = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+    causal = qi2 >= jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
+    zero_qq = jnp.zeros((Q, Q), jnp.float32)
 
+    # All T-head combining below is via jnp.concatenate + static slices:
+    # Mosaic rejects the reshapes that merge a tiled axis into the minor
+    # dims ("unsupported shape cast" on [T,Q,T,Q] -> [T·Q, T·Q]).
     for t in range(n_heads // T):
-        hs = slice(t * T, (t + 1) * T)
-        sh = s_ref[hs, :]                                       # [T, Q]
-        dth = dt_ref[0, 0, hs, :]                               # [T, Q]
-        xt = x_ref[0, hs, 0]                                    # [T, Q, P]
-        s_last = sh[:, Q - 1 :]                                 # [T, 1]
-        x2 = xt.reshape(TQ, xt.shape[-1])                       # [T·Q, P]
-        s_flat_i = sh.reshape(TQ, 1)                            # [T·Q, 1]
-        s_flat_j = sh.reshape(1, TQ)
+        base = t * T
+        w_blocks, x_rows, cs_rows, h_rows, xc_cols = [], [], [], [], []
+        for u in range(T):
+            hd = base + u
+            sh = s_ref[hd : hd + 1, :]                          # [1, Q]
+            dth = dt_ref[0, 0, hd : hd + 1, :]
+            xh = x_ref[0, hd, 0]                                # [Q, P]
+            s_last = sh[:, Q - 1 :]
+            decay = jnp.exp(sh.T - sh)
+            w_blocks.append(jnp.where(causal, cb * decay * dth, 0.0))
+            x_rows.append(xh)
+            cs_rows.append(Cg * jnp.exp(sh.T))                  # [Q, N]
+            h_rows.append(h_ref[hd])                            # [P, N]
+            xc_cols.append(xh * (jnp.exp(s_last - sh) * dth).T)  # [Q, P]
 
-        # intra-chunk: w[ui, vj] = (C_i·B_j) e^{s_i - s_j} dt_j on the
-        # block diagonal; exp AFTER masking (s differs wildly across heads)
-        logdecay = jnp.where(causal2, s_flat_i - s_flat_j, neg)
-        w2 = cb2 * jnp.exp(logdecay) * dth.reshape(1, TQ)
-        y2 = jnp.dot(w2, x2, preferred_element_type=jnp.float32)  # [T·Q, P]
+        # intra-chunk: ONE block-diagonal [T·Q, T·Q] x [T·Q, P] dot
+        w2 = jnp.concatenate(
+            [jnp.concatenate([w_blocks[u] if v == u else zero_qq
+                              for v in range(T)], axis=1) for u in range(T)],
+            axis=0)
+        x2 = jnp.concatenate(x_rows, axis=0)                    # [T·Q, P]
+        y2 = jnp.dot(w2, x2, preferred_element_type=jnp.float32)
 
-        # inter-chunk: full-cross dot, diagonal blocks wanted
-        Cs2 = (Cg[None, :, :] * jnp.exp(sh)[:, :, None]).reshape(TQ, -1)
-        h2 = h_ref[hs].reshape(T * h_ref.shape[1], -1)          # [T·P, N]
-        yc = jax.lax.dot_general(                               # [T·Q, T·P]
+        # inter-chunk: full-cross dot (T x the FLOPs — noise), diagonal
+        # blocks extracted by static slices
+        Cs2 = jnp.concatenate(cs_rows, axis=0)                  # [T·Q, N]
+        h2 = jnp.concatenate(h_rows, axis=0)                    # [T·P, N]
+        yc = jax.lax.dot_general(
             Cs2, h2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        P = xt.shape[-1]
+        )                                                       # [T·Q, T·P]
+        P = x_rows[0].shape[-1]
         for u in range(T):
-            y_ref[0, t * T + u, 0] = (
+            y_ref[0, base + u, 0] = (
                 y2[u * Q : (u + 1) * Q]
                 + yc[u * Q : (u + 1) * Q, u * P : (u + 1) * P]
             )
 
-        # state update: B shared -> stack heads in columns, one dot
-        tail = jnp.exp(s_last - sh) * dth                       # [T, Q]
-        xtail = xt * tail[:, :, None]                           # [T, Q, P]
-        xcols = xtail.transpose(1, 0, 2).reshape(Q, T * P)      # [Q, T·P]
-        S2 = jax.lax.dot_general(                               # [T·P, N]
+        # state update: B is SHARED across heads (G=1), so stacking heads
+        # in COLUMNS gives the per-head blocks exactly — one dot, no cross
+        xcols = jnp.concatenate(xc_cols, axis=1)                # [Q, T·P]
+        S2 = jax.lax.dot_general(
             xcols, Bg, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        h_ref[hs] = (h_ref[hs] * jnp.exp(s_last)[:, :, None]
-                     + S2.reshape(T, P, -1))
+        )                                                       # [T·P, N]
+        for u in range(T):
+            hd = base + u
+            s_last = s_ref[hd : hd + 1, Q - 1 :]
+            h_ref[hd] = (h_ref[hd] * jnp.exp(s_last[0, 0])
+                         + S2[u * P : (u + 1) * P])
 
     fs_ref[0] = h_ref[...]
-
-
-def _tile2(m: jnp.ndarray, t: int) -> jnp.ndarray:
-    """Tile a [Q, Q] matrix to [t·Q, t·Q] (block repetition)."""
-    Q = m.shape[0]
-    return jnp.broadcast_to(m[None, :, None, :], (t, Q, t, Q)).reshape(t * Q, t * Q)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
