@@ -55,8 +55,20 @@ def fused_state_step(
     block: int = 256,
     interpret: bool = False,
 ):
-    """Returns (y [BH, P] f32, new_state [BH, P, N] same dtype as input)."""
+    """Returns (y [BH, P] f32, new_state [BH, P, N] same dtype as input).
+
+    Measured (flagship batch 64, f8, tools/hybrid_breakdown.py
+    state_fused): **1.83 ms/layer vs 0.699 for the XLA pipeline — a 2.6×
+    LOSS.**  The single-read/single-write VMEM fusion cannot buy back the
+    per-grid-step overhead (32 steps at block=256) plus Mosaic's software
+    f8 conversion cost, and XLA's multi-output fusion already shares most
+    of the state read.  The r3 verdict's named escape hatch is hereby
+    measured and closed; kept as an opt-in correctness baseline like the
+    other Pallas kernels (docs/PERFORMANCE.md).
+    """
     BH, P, N = state.shape
+    if state.dtype.itemsize > 1:
+        block = min(block, 128)  # bf16/f32 blocks OOM scoped VMEM at 256
     while BH % block:
         block //= 2
     store_f8 = state.dtype == jnp.float8_e4m3fn
