@@ -354,7 +354,7 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
     # entry
     "fr": [
         ("eau", "o"), ("ou", "u"), ("oi", "wa"), ("ch", "ʃ"), ("gn", "ɲ"),
-        ("ai", "ɛ"), ("au", "o"), ("eu", "ø"), ("é", "e"), ("è", "ɛ"),
+        ("ai", "ɛ"), ("ei", "ɛ"), ("au", "o"), ("eu", "ø"), ("é", "e"), ("è", "ɛ"),
         ("ê", "ɛ"), ("à", "a"), ("â", "ɑ"), ("î", "i"), ("ï", "i"),
         ("ô", "o"), ("û", "y"), ("ù", "y"), ("œ", "œ"), ("ç", "s"),
         ("ll", "l"), ("tt", "t"), ("ss", "s"), ("mm", "m"), ("nn", "n"),
@@ -386,6 +386,9 @@ _WORD_LEXICONS: dict[str, dict[str, str]] = {
         "temps": "tɑ̃", "beaucoup": "boku", "deux": "dø", "trois": "tʁwa",
         "en": "ɑ̃", "on": "ɔ̃", "dans": "dɑ̃", "sans": "sɑ̃", "bien": "bjɛ̃",
         "très": "tʁɛ", "avec": "avɛk", "chez": "ʃe", "mais": "mɛ",
+        # number words whose final consonants defy the silent-final rules
+        "vingt": "vɛ̃", "cinq": "sɛ̃k", "six": "sis", "dix": "dis",
+        "sept": "sɛt", "huit": "ɥit", "neuf": "nœf", "vingts": "vɛ̃",
     },
     # function words where espeak's output departs from the letter tables
     # (closed-syllable vowel quality, vocalized final r)

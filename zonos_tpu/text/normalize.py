@@ -126,5 +126,15 @@ def clean(texts: list[str], languages: list[str]) -> list[str]:
             # zh converter, which strips tones per syllable (text/scripts.py)
             out.append(text)
         else:
-            out.append(normalize_numbers(text))
+            from zonos_tpu.text.numbers_i18n import (
+                normalize_numbers_i18n,
+                supported,
+            )
+
+            if supported(language):
+                # native cardinals (espeak parity: "23" -> "veintitrés",
+                # not English "twenty-three" through Spanish letter rules)
+                out.append(normalize_numbers_i18n(text, language))
+            else:
+                out.append(normalize_numbers(text))
     return out
