@@ -69,3 +69,13 @@ def test_phonemize_uses_native_numbers():
     assert "dvadtsatʲ trʲi" in phonemize(["У меня 23 кота"], ["ru"])[0]
     # English path unchanged
     assert "twɛnt" in phonemize(["I have 23 cats"], ["en-us"])[0]
+
+
+def test_euro_amounts():
+    assert normalize_numbers_i18n("Das kostet 5,50 €", "de") == (
+        "Das kostet fünf Euro fünfzig Cent")
+    assert normalize_numbers_i18n("€1 por favor", "es") == "un euro por favor"
+    assert normalize_numbers_i18n("1 € bitte", "de") == "ein Euro bitte"
+    assert normalize_numbers_i18n("Ça coûte 2,5 €", "fr") == (
+        "Ça coûte deux euros cinquante centimes")
+    assert normalize_numbers_i18n("Custa 1,01 €", "pt") == "Custa um euro um cêntimo"

@@ -290,10 +290,25 @@ _DIGIT_WORDS = {
     lang: [sp(i) for i in range(10)] for lang, sp in _SPELLERS.items()
 }
 
+# euro amounts ("5 €", "€5", "5,50 €") read as "<cardinal> euro(s)
+# [<cardinal> cent-word]" — the regional currency the reference gets from
+# espeak's grammars; other currency symbols fall through to the plain
+# number reading
+_EURO = {"es": ("euro", "euros", "céntimo", "céntimos"),
+         "de": ("Euro", "Euro", "Cent", "Cent"),
+         "fr": ("euro", "euros", "centime", "centimes"),
+         "it": ("euro", "euro", "centesimo", "centesimi"),
+         "pt": ("euro", "euros", "cêntimo", "cêntimos"),
+         "ru": ("евро", "евро", "цент", "центов")}
+# attributive "one" before a noun (Spanish apocope un, German ein)
+_ONE_ATTR = {"es": "un", "de": "ein", "fr": "un", "it": "un", "pt": "um",
+             "ru": "один"}
+
 # European digit grouping uses dots (1.234.567) and a decimal comma (1,5);
 # plain "word, 5" commas must survive, so the decimal comma requires digits
 # on BOTH sides with no space
 _GROUPED = re.compile(r"\b\d{1,3}(?:\.\d{3})+\b")
+_EURO_RE = re.compile(r"(?:€\s*(\d+(?:,\d{1,2})?)|(\d+(?:,\d{1,2})?)\s*€)")
 _DECIMAL_COMMA = re.compile(r"(\d+),(\d+)")
 _INT = re.compile(r"\d+")
 
@@ -316,6 +331,21 @@ def normalize_numbers_i18n(text: str, language: str) -> str:
     lang = language.split("-")[0]
     sp_word = lambda n: number_to_words_i18n(n, lang)
     text = _GROUPED.sub(lambda m: m.group(0).replace(".", ""), text)
+
+    def euro(m: re.Match) -> str:
+        amount = m.group(1) or m.group(2)
+        unit_one, unit_many, cent_one, cent_many = _EURO[lang]
+        whole, _, cents = amount.partition(",")
+        n = int(whole)
+        head = _ONE_ATTR[lang] if n == 1 else sp_word(n)
+        out = f"{head} {unit_one if n == 1 else unit_many}"
+        if cents:
+            c = int(cents) * (10 if len(cents) == 1 else 1)
+            chead = _ONE_ATTR[lang] if c == 1 else sp_word(c)
+            out += f" {chead} {cent_one if c == 1 else cent_many}"
+        return out
+
+    text = _EURO_RE.sub(euro, text)
     digits = _DIGIT_WORDS[lang]
     text = _DECIMAL_COMMA.sub(
         lambda m: f"{sp_word(int(m.group(1)))} {_DECIMAL_WORD[lang]} "
