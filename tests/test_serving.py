@@ -579,7 +579,7 @@ def test_stream_deadline_cancels_mid_flight(tiny_model):
         h = b.submit_stream(StreamRequest(
             cond_dict=make_cond_dict(text="deadline mid stream", speaker=_spk(0)),
             sampling=SamplingParams.greedy(),
-            max_new_tokens=256, chunk_frames=8, margin_frames=12,
+            max_new_tokens=1024, chunk_frames=8, margin_frames=12,
             deadline_s=2.0))
         got, err = 0, None
         t0 = time.monotonic()
