@@ -637,7 +637,12 @@ def guard_unmapped(ipa: str, text: str, language: str) -> str:
     must fail loudly, not synthesize silence — VERDICT r1 missing #1)."""
     table = _symbol_set()
     kept = [ch for ch in ipa if ch in table or ch.isspace()]
-    bad = sorted({ch for ch in ipa if ch not in table and not ch.isspace()})
+    # combining tilde / tie bar are EXPECTED espeak-style notation the
+    # reference pipeline also drops (its symbol table has no tilde either,
+    # zonos/conditioning.py:146-156) — dropping them is parity, not a gap
+    expected = {"̃", "͡"}
+    bad = sorted({ch for ch in ipa
+                  if ch not in table and not ch.isspace() and ch not in expected})
     if bad:
         _warn_once(
             f"unmapped:{language}",
