@@ -25,8 +25,9 @@ vs_baseline is relative to the reference's headline ~2x real-time factor on
 an RTX 4090 (BASELINE.md: README.md:102).
 
 Setting any of BENCH_BATCH / BENCH_QUANT / BENCH_MODEL / BENCH_CFG /
-BENCH_STEPS / BENCH_PROFILE selects the single-row mode with those knobs
-(BENCH_ROWS=name,name subsets the suite instead).
+BENCH_PROFILE selects the single-row mode with those knobs; BENCH_STEPS
+and BENCH_COND_LEN apply to whichever mode runs (a shortened suite is
+still a suite).  BENCH_ROWS=name,name subsets the suite.
 """
 
 from __future__ import annotations
@@ -161,17 +162,9 @@ def main() -> None:
     # (~35 min of XLA for ~1 min of measurement); warm, each program is a
     # disk read and the full suite finishes in minutes.  Cache hits do not
     # affect the measured numbers — timing starts after the warmup run.
-    cache_dir = os.environ.get(
-        "BENCH_CACHE_DIR", os.path.expanduser("~/.cache/zonos_tpu/xla"))
-    if cache_dir:
-        try:
-            import jax
+    from zonos_tpu.utils.compile_cache import enable_compile_cache
 
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    enable_compile_cache(os.environ.get("BENCH_CACHE_DIR"))
 
     # 10 s of audio: representative utterance length; short windows
     # over-weight the one-time prefill (258 steps = 3 s measures ~3% lower)

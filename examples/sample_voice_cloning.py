@@ -21,53 +21,51 @@ def cosine(a: np.ndarray, b: np.ndarray) -> float:
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
 
 
-def compare_speaker_embeddings(vec1, vec2, name: str = "speaker_embedding") -> dict:
-    """Compare two speaker embeddings and render the reference's comparison
-    figures (ref: sample_voice_cloning.py:33-93): overlaid vectors with
-    cosine/Euclidean stats in the title, absolute difference per dimension,
-    and normalized relative difference — saved as ``{name}-vec.png``,
-    ``{name}-absolute-diff.png``, ``{name}-relative-diff.png``."""
+def plot_embedding_comparison(a, b, path: str = "speaker_embeddings.png") -> dict:
+    """Render a single three-panel comparison of two speaker embeddings —
+    overlaid values, per-dimension delta, and the sorted |delta| profile —
+    and return the similarity metrics.  Covers the reference example's
+    embedding-inspection capability (its script renders separate figures;
+    see sample_voice_cloning.py:33-93) with one composite PNG instead.
+    """
     import matplotlib
 
-    matplotlib.use("Agg")  # headless: save figures, no GUI loop
+    matplotlib.use("Agg")  # headless
     import matplotlib.pyplot as plt
 
-    v1 = np.asarray(vec1, np.float32).ravel()
-    v2 = np.asarray(vec2, np.float32).ravel()
-    assert v1.shape == v2.shape, "Vectors must have the same shape"
-    cos_sim = cosine(v1, v2)
-    euclidean = float(np.linalg.norm(v1 - v2))
-    diff = np.abs(v1 - v2)
-    rel_diff = (v1 - v2) / max(diff.max(), 1e-12)
+    a = np.asarray(a, np.float32).ravel()
+    b = np.asarray(b, np.float32).ravel()
+    if a.shape != b.shape:
+        raise ValueError(f"embedding shapes differ: {a.shape} vs {b.shape}")
+    metrics = {
+        "cosine": cosine(a, b),
+        "l2": float(np.linalg.norm(a - b)),
+        "max_abs_delta": float(np.abs(a - b).max()),
+    }
 
-    fig = plt.figure(figsize=(12, 4))
-    plt.plot(v1, label="vec1")
-    plt.plot(v2, label="vec2")
-    plt.title(f"Speaker Embedding Comparison\n"
-              f"Cosine Similarity: {cos_sim:.4f} | Euclidean Distance: {euclidean:.4f}")
-    plt.xlabel("Dimension")
-    plt.ylabel("Value")
-    plt.legend()
-    plt.grid(True)
-    plt.tight_layout()
-    fig.savefig(f"{name}-vec.png")
+    fig, axes = plt.subplots(3, 1, figsize=(10, 8), constrained_layout=True)
+    dims = np.arange(a.size)
+    axes[0].plot(dims, a, lw=0.8, label="voice A")
+    axes[0].plot(dims, b, lw=0.8, label="voice B")
+    axes[0].set_title(
+        f"speaker embeddings — cos {metrics['cosine']:.4f}, "
+        f"L2 {metrics['l2']:.4f}"
+    )
+    axes[0].legend(loc="upper right")
+
+    delta = b - a
+    axes[1].fill_between(dims, delta, step="mid", alpha=0.7)
+    axes[1].set_title("per-dimension delta (B − A)")
+
+    axes[2].plot(np.sort(np.abs(delta))[::-1], lw=1.0)
+    axes[2].set_title("|delta| sorted — how many dimensions carry the difference")
+    axes[2].set_xlabel("rank")
+
+    for ax in axes:
+        ax.grid(True, alpha=0.3)
+    fig.savefig(path, dpi=110)
     plt.close(fig)
-
-    for values, title, fname in (
-        (diff, "Absolute Difference per Dimension", f"{name}-absolute-diff.png"),
-        (rel_diff, "Relative Difference per Dimension", f"{name}-relative-diff.png"),
-    ):
-        fig = plt.figure(figsize=(12, 3))
-        plt.bar(np.arange(len(values)), values)
-        plt.title(title)
-        plt.xlabel("Dimension")
-        plt.ylabel("Difference")
-        plt.tight_layout()
-        fig.savefig(fname)
-        plt.close(fig)
-
-    return {"cosine_similarity": cos_sim, "euclidean_distance": euclidean,
-            "abs_difference": diff}
+    return metrics
 
 
 def main() -> None:
@@ -84,15 +82,15 @@ def main() -> None:
         b = su.load_average({"gender": "female", "reading_style": "whisper"})
         mixed = a + (b - a) * 3.0
         print(f"cos(A,B)={cosine(a, b):.3f}  cos(A,mixed)={cosine(a, mixed):.3f}")
-        compare_speaker_embeddings(a, b, name="speaker_embedding")
-        print("wrote speaker_embedding-{vec,absolute-diff,relative-diff}.png")
+        m = plot_embedding_comparison(a, b)
+        print(f"wrote speaker_embeddings.png ({m})")
     except (FileNotFoundError, ValueError) as e:
         print(f"no voice DB ({e}); using a random embedding")
         rng = np.random.default_rng(0)
         mixed = rng.normal(size=(1, 1, 128)).astype(np.float32) * 0.1
-        compare_speaker_embeddings(
+        m = plot_embedding_comparison(
             mixed, rng.normal(size=(1, 1, 128)).astype(np.float32) * 0.1)
-        print("wrote speaker_embedding-{vec,absolute-diff,relative-diff}.png")
+        print(f"wrote speaker_embeddings.png ({m})")
 
     texts = [SpeakerUtils.random_sentence("en") for _ in range(4)]
     cond = make_cond_dict(text=texts, speaker=mixed, language="en-us")

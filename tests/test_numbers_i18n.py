@@ -79,3 +79,9 @@ def test_euro_amounts():
     assert normalize_numbers_i18n("Ça coûte 2,5 €", "fr") == (
         "Ça coûte deux euros cinquante centimes")
     assert normalize_numbers_i18n("Custa 1,01 €", "pt") == "Custa um euro um cêntimo"
+
+
+def test_apocope_before_scale_words():
+    assert number_to_words_i18n(21000, "es") == "veintiún mil"
+    assert number_to_words_i18n(31000000, "es") == "treinta y un millones"
+    assert number_to_words_i18n(21000, "it") == "ventunmila"

@@ -152,3 +152,18 @@ def test_english_latinate_stress():
     out = w("fantastic")
     assert out.endswith("ɪk") and "ˈ" in out
     assert "ˈɑlə" in w("biology")
+
+
+def test_word_phonology_review_fixes():
+    """r4 review regressions pinned: French -er keeps its vowel, Spanish
+    silent-u digraphs survive lenition and ge/gi fricate, Italian zi-
+    gemination is intervocalic only."""
+    from zonos_tpu.text import phonemize
+    from zonos_tpu.text.metrics import normalize_ipa
+
+    assert normalize_ipa(phonemize(["parler"], ["fr-fr"])[0]) == "parle"
+    assert normalize_ipa(phonemize(["un an"], ["fr-fr"])[0]) == "œɑ"
+    out = normalize_ipa(phonemize(["seguir sigue la guerra gente"], ["es"])[0])
+    assert "seɣir" in out and "siɣe" in out and "ɡera" in out and "xente" in out
+    it = normalize_ipa(phonemize(["lo zio ringrazia"], ["it"])[0])
+    assert "tsio" in it and "rinɡrattsja" in it

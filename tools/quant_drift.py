@@ -48,19 +48,11 @@ def set_modes(kv: str, ssm: str) -> None:
 
 
 
-def _enable_compile_cache():
-    import os
-
-    import jax
-
-    cache_dir = os.path.expanduser("~/.cache/zonos_tpu/xla")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 
 def main() -> None:
-    _enable_compile_cache()
+    from zonos_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2580
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     ssm_modes = sys.argv[3:] or ["f8", "bf16"]

@@ -27,19 +27,11 @@ import jax.numpy as jnp
 
 
 
-def _enable_compile_cache():
-    import os
-
-    import jax
-
-    cache_dir = os.path.expanduser("~/.cache/zonos_tpu/xla")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 
 def main() -> None:
-    _enable_compile_cache()
+    from zonos_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "pallas"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 1024

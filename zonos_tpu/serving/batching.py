@@ -784,7 +784,9 @@ class ContinuousBatcher:
                 h._put(StreamHandle._DONE)
             ttfa = [h.first_chunk_s for h in handles if h.first_chunk_s is not None]
             with self._stats_lock:
-                self.stats["completed"] += B
+                self.stats["completed"] += B - len(expired)
+                self.stats["expired"] += len(expired)
+                self.stats["failed"] += len(expired)
                 self.stats["streams"] += B
                 self.stats["batches"] += 1
                 self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], B)

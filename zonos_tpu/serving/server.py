@@ -381,12 +381,9 @@ def main(argv=None) -> None:
     if args.ssm_bf16:
         os.environ["ZONOS_TPU_SSM_BF16"] = "1"
     if args.compile_cache:
-        import jax
+        from zonos_tpu.utils.compile_cache import enable_compile_cache
 
-        cache_dir = os.path.expanduser(args.compile_cache)
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        enable_compile_cache(args.compile_cache)
     if args.backbone is None:
         args.backbone = "hybrid" if "hybrid" in args.model else "transformer"
 

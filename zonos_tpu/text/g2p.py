@@ -310,6 +310,8 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
         # Castilian c before front vowels is θ; the i of -cia- is a glide
         ("cia", "θja"), ("cie", "θje"), ("cio", "θjo"), ("ci", "θi"),
         ("ce", "θe"),
+        # g before front vowels is the velar fricative (gente -> xente)
+        ("ge", "xe"), ("gi", "xi"), ("gé", "xˈe"), ("gí", "xˈi"),
         # rising diphthongs (bueno -> bweno, tierra -> tjera)
         ("ue", "we"), ("ua", "wa"), ("ui", "wi"), ("ie", "je"),
         ("v", "b"),
@@ -336,9 +338,9 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
         ("ce", "ʧe"),
         ("gia", "ʤa"), ("gio", "ʤo"), ("giu", "ʤu"), ("gi", "ʤi"),
         ("ge", "ʤe"),
-        # z is the affricate ts; zz and intervocalic -zi- geminate (pizza ->
-        # pittsa, grazie -> ɡrattsje — espeak's raddoppiamento contexts)
-        ("zia", "ttsja"), ("zie", "ttsje"), ("zio", "ttsjo"),
+        # z is the affricate ts; zz geminates (pizza -> pittsa); the
+        # intervocalic -zi- geminate (grazie -> ɡrattsje) is a _word_pre
+        # rewrite so word-initial zio/zia stay plain
         ("zz", "tts"), ("z", "ts"),
         # uo: falling diphthong (buono -> bwɔno)
         ("uo", "wɔ"), ("qu", "kw"), ("ss", "s"), ("ẕ", "z"),
@@ -389,6 +391,7 @@ _WORD_LEXICONS: dict[str, dict[str, str]] = {
         # number words whose final consonants defy the silent-final rules
         "vingt": "vɛ̃", "cinq": "sɛ̃k", "six": "sis", "dix": "dis",
         "sept": "sɛt", "huit": "ɥit", "neuf": "nœf", "vingts": "vɛ̃",
+        "an": "ɑ̃", "ans": "ɑ̃",
     },
     # function words where espeak's output departs from the letter tables
     # (closed-syllable vowel quality, vocalized final r)
@@ -426,7 +429,8 @@ def _word_pre(word: str, lang: str) -> str:
         if word.endswith("es") and len(word) > 3:
             word = word[:-2]  # -es plural: both letters silent
         elif word.endswith("er") and len(word) > 3:
-            word = word[:-2] + "e"  # -er infinitives/nouns: /e/ (parler)
+            word = word[:-2] + "é"  # -er infinitives/nouns: /e/ (parler);
+            # é, not e — a plain e would be re-stripped as silent below
         elif word[-1] in _FR_SILENT_FINALS and word[-1] != word[-2]:
             word = word[:-1]
         if word and word[-1] == "e" and len(word) > 2:
@@ -467,8 +471,15 @@ def _word_pre(word: str, lang: str) -> str:
         # neɣɾo); word-initial stops stay stops
         word = re.sub(r"(?<=[aeiouáéíóú])b(?=[aeiouáéíóúrl])", "β", word)
         word = re.sub(r"(?<=[aeiouáéíóú])d(?=[aeiouáéíóúrl])", "ð", word)
-        word = re.sub(r"(?<=[aeiouáéíóú])g(?=[aeiouáéíóúrl])", "ɣ", word)
+        # intervocalic gu+e/i: lenite AND consume the silent u (seguir ->
+        # seɣir) so the table's gue/gui rules aren't needed there
+        word = re.sub(r"(?<=[aeiouáéíóú])gu(?=[eiéí])", "ɣ", word)
+        word = re.sub(r"(?<=[aeiouáéíóú])g(?=[aoáóúrl]|u(?![eiéí]))", "ɣ", word)
     if lang == "it":
+        # intervocalic -zi- + vowel geminates (grazie -> ɡrattsje, azione ->
+        # attsjone — espeak's raddoppiamento context); word-initial zio/zia
+        # keep the plain affricate via the z table entry
+        word = re.sub(r"(?<=[aeiou])zi(?=[aeou])", "ttsj", word)
         # intervocalic single s voices to z (casa -> kaza); ss stays /s/
         # via its own table entry.  The marker ẕ avoids the table's
         # orthographic z -> ts affricate rule

@@ -58,14 +58,21 @@ def _es(n: int) -> str:
             parts.append(below_100(r))
         return " ".join(parts)
 
+    def apocope(w):  # veintiuno mil -> veintiún mil, treinta y uno -> ... un
+        if w.endswith("veintiuno"):
+            return w[: -len("veintiuno")] + "veintiún"
+        if w.endswith("uno"):
+            return w[:-1]
+        return w
+
     if n < 1000:
         return below_1000(n)
     if n < 10**6:
         th, r = divmod(n, 1000)
-        head = "mil" if th == 1 else f"{below_1000(th)} mil"
+        head = "mil" if th == 1 else f"{apocope(below_1000(th))} mil"
         return head + (f" {below_1000(r)}" if r else "")
     m, r = divmod(n, 10**6)
-    head = "un millón" if m == 1 else f"{_es(m)} millones"
+    head = "un millón" if m == 1 else f"{apocope(_es(m))} millones"
     return head + (f" {_es(r)}" if r else "")
 
 
@@ -177,14 +184,17 @@ def _it(n: int) -> str:
             head = head[:-1]  # vowel elision: centotto, centottanta
         return head + tail
 
+    def drop_uno_o(w):  # ventuno + mila -> ventunmila
+        return w[:-1] if w.endswith("uno") else w
+
     if n < 1000:
         return below_1000(n)
     if n < 10**6:
         th, r = divmod(n, 1000)
-        head = "mille" if th == 1 else below_1000(th) + "mila"
+        head = "mille" if th == 1 else drop_uno_o(below_1000(th)) + "mila"
         return head + (below_1000(r) if r else "")
     m, r = divmod(n, 10**6)
-    head = "un milione" if m == 1 else f"{_it(m)} milioni"
+    head = "un milione" if m == 1 else f"{drop_uno_o(_it(m))} milioni"
     return head + (f" {_it(r)}" if r else "")
 
 

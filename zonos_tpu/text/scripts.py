@@ -408,7 +408,7 @@ _HI_VIRAMA = "्"
 # stop before a consonant, vowel nasalization (combining tilde — what
 # espeak emits; the tokenizer maps it to UNK exactly as the reference
 # pipeline does) otherwise
-_HI_NASAL = {"ं": "̃", "ँ": "̃", "ः": "h"}
+_HI_NASAL = {"ः": "h"}  # anusvara/candrabindu resolve contextually in hi_to_ipa
 _HI_LABIAL = set("pbm") | {"प", "फ", "ब", "भ", "म"}
 
 
