@@ -29,8 +29,10 @@ fix the old docstring prescribed) measures **3.25 ms vs 3.21 ms for the
 XLA twin** at the same shape (39x faster, parity), and **3.92 vs 4.17 ms
 at flagship width (H=64) — 6% FASTER than XLA**.  Still opt-in
 (``ZONOS_TPU_PALLAS=1``): the win is within noise of end-to-end prefill
-cost and the XLA path keeps CPU-testability, but the north-star kernel
-now holds speed-of-light at its own game.
+cost, the XLA path keeps CPU-testability, and the kernel's different
+reduction order produces float-level differences that can flip near-tied
+greedy picks (verified composing inside the real on-chip ``generate``:
+runs fine; codes match XLA only up to that argmax sensitivity).
 """
 
 from __future__ import annotations
