@@ -105,18 +105,6 @@ def _build(arch: str, quant: str):
     return model, cfg
 
 
-def _set_env(kv_mode: str | None, ssm_state: str | None) -> None:
-    # read per-call at cache creation, so per-row toggling works in-process
-    for var in ("ZONOS_TPU_KV_F8", "ZONOS_TPU_KV_INT8", "ZONOS_TPU_SSM_STATE"):
-        os.environ.pop(var, None)
-    if kv_mode == "f8":
-        os.environ["ZONOS_TPU_KV_F8"] = "1"
-    elif kv_mode == "int8":
-        os.environ["ZONOS_TPU_KV_INT8"] = "1"
-    if ssm_state:
-        os.environ["ZONOS_TPU_SSM_STATE"] = ssm_state
-
-
 def run_suite(steps: int, cond_len: int) -> None:
     names = os.environ.get("BENCH_ROWS")
     names = list(SUITE) if not names else [n.strip() for n in names.split(",")]
@@ -129,8 +117,13 @@ def run_suite(steps: int, cond_len: int) -> None:
     for (arch, quant), rows in by_model.items():
         model, cfg = _build(arch, quant)
         for n in rows:
+            from zonos_tpu.utils.quant_env import set_storage_env
+
             _, batch, _, kv_mode, ssm_state, cfg_scale = SUITE[n]
-            _set_env(kv_mode, ssm_state)
+            set_storage_env(kv_mode, ssm_state)
+            # modes are baked in at TRACE time: force a fresh trace so two
+            # rows differing only in storage mode never share a program
+            model._generate_cache.clear()
             rtf = _bench_one(model, cfg, batch, steps, cond_len, cfg_scale)
             row = _row(n, rtf)
             if n == "rtf_batch1":

@@ -38,13 +38,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def set_modes(kv: str, ssm: str) -> None:
-    for var in ("ZONOS_TPU_KV_F8", "ZONOS_TPU_KV_INT8", "ZONOS_TPU_SSM_STATE"):
-        os.environ.pop(var, None)
-    if kv == "f8":
-        os.environ["ZONOS_TPU_KV_F8"] = "1"
-    elif kv == "int8":
-        os.environ["ZONOS_TPU_KV_INT8"] = "1"
-    os.environ["ZONOS_TPU_SSM_STATE"] = ssm
+    from zonos_tpu.utils.quant_env import set_storage_env
+
+    set_storage_env(kv, ssm)
 
 
 

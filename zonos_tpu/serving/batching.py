@@ -276,9 +276,11 @@ def _startup_widths(chunk_frames: int, margin_frames: int, K: int) -> set[int]:
         bucket = -(-(avail - w0_raw) // 32) * 32
         w0 = max(0, avail - bucket)
         width = avail - w0
-        if width % 32 == 0:
-            break  # reached the bucketed steady state
-        widths.add(width)
+        # no early break: a width can be a 32-multiple by coincidence while
+        # the window start still clamps to 0, with unbucketed widths after
+        # (e.g. chunk 20 / margin 16: 32 at n=2, then 52 at n=3)
+        if width % 32:
+            widths.add(width)
         emitted = avail - margin_frames
     return widths
 
@@ -692,12 +694,16 @@ class ContinuousBatcher:
             gen_s = time.monotonic() - t0
             audio_s = 0.0
             lat = []
+            outs = []
             for (_, pending), wavs in zip(batch, wav_lists):
                 wav = wavs[0] if wavs else np.zeros((1, 512), np.float32)
                 audio_s += wav.shape[-1] / 44100.0
-                pending._set(wav=wav)
+                outs.append((pending, wav))
                 if hasattr(pending, "_submitted"):
                     lat.append(time.monotonic() - pending._submitted)
+            # update stats BEFORE releasing results: a client that wakes on
+            # its result and snapshots immediately must see this batch's
+            # counters and latency percentiles
             with self._stats_lock:
                 self.stats["completed"] += B
                 self.stats["batches"] += 1
@@ -705,6 +711,8 @@ class ContinuousBatcher:
                 self.stats["audio_seconds"] += audio_s
                 self.stats["generate_seconds"] += gen_s
                 self._latencies = (self._latencies + lat)[-1024:]
+            for pending, wav in outs:
+                pending._set(wav=wav)
         except BaseException as e:  # noqa: BLE001 — report to all waiters
             for _, pending in batch:
                 pending._set(error=e)

@@ -125,6 +125,14 @@ class ServerState:
 
     def stream_request_from_json(self, body: dict) -> StreamRequest:
         r = self.request_from_json(body)
+        margin = int(body.get("margin_frames", 32))
+        rf = self.model.autoencoder.receptive_field_frames
+        if margin < rf:
+            # validate BEFORE the 200 status line goes out: the generator
+            # would only raise at first next() inside the stream worker
+            raise ValueError(
+                f"margin_frames={margin} is below the DAC decoder's "
+                f"receptive half-width ({rf} frames)")
         return StreamRequest(
             cond_dict=r.cond_dict,
             sampling=r.sampling,
@@ -133,7 +141,7 @@ class ServerState:
             max_new_tokens=r.max_new_tokens,
             deadline_s=r.deadline_s,
             chunk_frames=int(body.get("chunk_frames", 43)),
-            margin_frames=int(body.get("margin_frames", 32)),
+            margin_frames=margin,
         )
 
     def synthesize_long(self, body: dict) -> np.ndarray:

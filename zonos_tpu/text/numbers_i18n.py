@@ -318,7 +318,11 @@ _ONE_ATTR = {"es": "un", "de": "ein", "fr": "un", "it": "un", "pt": "um",
 # plain "word, 5" commas must survive, so the decimal comma requires digits
 # on BOTH sides with no space
 _GROUPED = re.compile(r"\b\d{1,3}(?:\.\d{3})+\b")
-_EURO_RE = re.compile(r"(?:€\s*(\d+(?:,\d{1,2})?)|(\d+(?:,\d{1,2})?)\s*€)")
+# amounts must be complete numbers: 3-decimal figures like "1,599 €" fall
+# through to the plain decimal reading instead of being split mid-number
+_EURO_RE = re.compile(
+    r"(?:€\s*(\d+(?:,\d{1,2})?)(?!\d|,\d)"
+    r"|(?<![\d,])(\d+(?:,\d{1,2})?)(?!\d|,\d)\s*€)")
 _DECIMAL_COMMA = re.compile(r"(\d+),(\d+)")
 _INT = re.compile(r"\d+")
 

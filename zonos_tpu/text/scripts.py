@@ -408,7 +408,8 @@ _HI_VIRAMA = "्"
 # stop before a consonant, vowel nasalization (combining tilde — what
 # espeak emits; the tokenizer maps it to UNK exactly as the reference
 # pipeline does) otherwise
-_HI_NASAL = {"ः": "h"}  # anusvara/candrabindu resolve contextually in hi_to_ipa
+_HI_NASAL = {"ः": "h"}  # visarga; anusvara/candrabindu resolve contextually
+_HI_NASAL_MARKS = ("ं", "ँ")
 _HI_LABIAL = set("pbm") | {"प", "फ", "ब", "भ", "म"}
 
 
@@ -435,13 +436,14 @@ def hi_to_ipa(text: str) -> str:
                 i = j + 1
                 continue
             # inherent schwa, deleted word-finally
-            if nxt in _HI_CONS or nxt in _HI_IND_VOWELS or nxt in _HI_NASAL:
+            if (nxt in _HI_CONS or nxt in _HI_IND_VOWELS or nxt in _HI_NASAL
+                    or nxt in _HI_NASAL_MARKS):
                 out.append("ə")
             i = j
             continue
         if ch in _HI_IND_VOWELS:
             out.append(_HI_IND_VOWELS[ch])
-        elif ch in ("ं", "ँ"):
+        elif ch in _HI_NASAL_MARKS:
             # homorganic nasal before a stop (हिंदी -> hɪndiː, n/m by place);
             # plain vowel nasalization elsewhere (हैं -> hɛ̃ː)
             nxt = text[i + 1] if i + 1 < n else ""
