@@ -36,6 +36,7 @@ def main() -> None:
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     H = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    T = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     P, N, iters = 64, 128, 8
 
     from zonos_tpu.ops.pallas_ssm import ssd_chunked_pallas
@@ -50,7 +51,12 @@ def main() -> None:
     Cm = jax.random.normal(ks[4], (B, L, 1, N), jnp.float32) * 0.3
     D = jnp.ones((H,), jnp.float32)
 
-    fn = ssd_chunked_pallas if which == "pallas" else ssd_chunked
+    if which == "pallas":
+        import functools as ft
+
+        fn = ft.partial(ssd_chunked_pallas, head_tile=T)
+    else:
+        fn = ssd_chunked
 
     @jax.jit
     def chained(x):
@@ -65,6 +71,7 @@ def main() -> None:
     jax.block_until_ready(chained(x0))
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(json.dumps({"which": which, "B": B, "L": L, "H": H,
+                      "head_tile": T if which == "pallas" else None,
                       "ms_per_call": round(ms, 2)}))
 
 

@@ -25,9 +25,11 @@ History (v5e, chained-loop methodology, tools/ssd_kernel_bench.py): the
 original per-head-loop kernel measured **126.7 ms** at (B=2, L=1024, H=32,
 P=64, N=128) — the [1, 64] / [64, 64] tiles used a fraction of the 8x128
 lanes.  The r4 HEAD-BATCHED rewrite (block-diagonal [T·Q, T·Q] dots — the
-fix the old docstring prescribed) measures **3.25 ms vs 3.21 ms for the
-XLA twin** at the same shape (39x faster, parity), and **3.92 vs 4.17 ms
-at flagship width (H=64) — 6% FASTER than XLA**.  Still opt-in
+fix the old docstring prescribed) measures XLA-parity at H=32
+(3.25-3.43 ms vs 3.21 across head_tile 8/4 — 39x faster than the old
+loop) and at flagship width (H=64) **3.64 ms vs 4.17 — 13% FASTER than
+XLA** (head_tile sweep: T=4 beats T=8's 3.92; T=16 exceeds the 16 MB
+scoped-VMEM limit; default 4).  Still opt-in
 (``ZONOS_TPU_PALLAS=1``): the win is within noise of end-to-end prefill
 cost, the XLA path keeps CPU-testability, and the kernel's different
 reduction order produces float-level differences that can flip near-tied
@@ -47,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _ssd_kernel(x_ref, dt_ref, da_ref, b_ref, c_ref, init_ref,
                 y_ref, fs_ref, h_ref, s_ref, *, n_heads: int,
-                head_tile: int = 8):
+                head_tile: int = 4):
     """One (batch, chunk) tile.
 
     x    [1, H, 1, Q, P]   dt/dA [1, 1, H, Q]   B/C [1, 1, Q, N]
@@ -155,7 +157,7 @@ def _ssd_kernel(x_ref, dt_ref, da_ref, b_ref, c_ref, init_ref,
     fs_ref[0] = h_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "head_tile"))
 def ssd_chunked_pallas(
     x: jnp.ndarray,   # [B, L, H, P] f32
     dt: jnp.ndarray,  # [B, L, H] f32 (already softplus'd)
@@ -166,6 +168,7 @@ def ssd_chunked_pallas(
     init_state: jnp.ndarray | None = None,  # [B, H, P, N]
     chunk: int = 64,
     interpret: bool = False,
+    head_tile: int = 4,
 ):
     """Drop-in twin of :func:`zonos_tpu.ops.ssm.ssd_chunked` for ngroups=1."""
     Bsz, L, H, P = x.shape
@@ -198,7 +201,7 @@ def ssd_chunked_pallas(
 
     grid = (Bsz, nc)
     yt, fs = pl.pallas_call(
-        functools.partial(_ssd_kernel, n_heads=H),
+        functools.partial(_ssd_kernel, n_heads=H, head_tile=head_tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, 1, chunk, P), lambda b, c: (b, 0, c, 0, 0)),
