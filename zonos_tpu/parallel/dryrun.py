@@ -32,6 +32,12 @@ def _tiny_cfg() -> ZonosConfig:
 
 
 def run_dryrun(n_devices: int) -> None:
+    # The dry run builds every model with random weights by design; skip the
+    # hub fallback so air-gapped/CI hosts fail fast to random init instead of
+    # paying ~25 s of network retry backoff per checkpoint probe (utils/hub.py).
+    import os
+
+    os.environ.setdefault("ZONOS_TPU_OFFLINE", "1")
     devices = jax.devices()[:n_devices]
     n_model = 2 if n_devices % 2 == 0 else 1
     mesh = make_mesh(n_devices // n_model, n_model, devices)
