@@ -31,10 +31,12 @@ PER_CEILING = {
     # tilde nasals + closed-syllable ɛ for fr; silent-i clusters +
     # zz/zi affricates + uo + intervocalic s for it; lax ɪ/ʊ + contextual
     # anusvara for hi — measured 0.000 / 0.017 / 0.000)
-    "en-us": 0.10, "es": 0.05, "de": 0.12, "it": 0.06, "fr-fr": 0.05,
-    "pt": 0.10, "ja": 0.08, "ko": 0.22, "ru": 0.08, "el": 0.08, "hi": 0.05,
+    # remaining slack trimmed late-r4 to ~2x the measured PER so a silent
+    # regression of even one language trips (ko was 0.22 vs measured 0.032)
+    "en-us": 0.10, "es": 0.03, "de": 0.06, "it": 0.04, "fr-fr": 0.03,
+    "pt": 0.04, "ja": 0.05, "ko": 0.07, "ru": 0.06, "el": 0.07, "hi": 0.03,
 }
-OVERALL_CEILING = 0.05  # measured 0.025 (r4)
+OVERALL_CEILING = 0.04  # measured 0.025 (r4)
 
 
 def _pairs(lang):
