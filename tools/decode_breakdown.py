@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from zonos_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # shared persistent XLA cache (chip tools)
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     quant = sys.argv[2] if len(sys.argv) > 2 else "int8"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 64

@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    from zonos_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # shared persistent XLA cache (chip tools)
     quant = os.environ.get("TTFA_QUANT", "int8")
     chunk = int(os.environ.get("TTFA_CHUNK_FRAMES", "43"))
     steps = int(os.environ.get("TTFA_STEPS", "430"))

@@ -29,6 +29,9 @@ import numpy as np
 
 
 def main() -> None:
+    from zonos_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # shared persistent XLA cache (chip tools)
     quant = os.environ.get("LOAD_QUANT", "int8")
     n_streams = int(os.environ.get("LOAD_STREAMS", "4"))
     steps = int(os.environ.get("LOAD_STEPS", "430"))
