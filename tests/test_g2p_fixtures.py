@@ -39,20 +39,33 @@ PER_CEILING = {
 OVERALL_CEILING = 0.04  # measured 0.025 (r4)
 
 
+@pytest.fixture
+def builtin_only(monkeypatch):
+    """Pin the BUILTIN engine: phonemize() prefers the espeak backend when
+    phonemizer/espeak-ng are installed (g2p.py:604-606), and the tight
+    builtin ceilings below (0.03-0.10) sit well under the 0.15 drift
+    tolerance granted to espeak itself — on an espeak-equipped host the
+    ceiling tests would measure the wrong engine and can fail spuriously
+    (ADVICE r4).  These ceilings exist to catch RULE-TABLE regressions."""
+    import zonos_tpu.text.g2p as g2p
+
+    monkeypatch.setattr(g2p, "_espeak_backend", lambda lang: None)
+
+
 def _pairs(lang):
     rows = FIXTURES[lang]
     return [(phonemize([r["text"]], [lang])[0], r["ipa"]) for r in rows]
 
 
 @pytest.mark.parametrize("lang", LANGS)
-def test_builtin_per_under_ceiling(lang):
+def test_builtin_per_under_ceiling(lang, builtin_only):
     per = corpus_per(_pairs(lang))
     assert per <= PER_CEILING[lang], (
         f"builtin G2P regressed for {lang}: PER {per:.3f} > {PER_CEILING[lang]}"
     )
 
 
-def test_builtin_overall_per():
+def test_builtin_overall_per(builtin_only):
     all_pairs = [p for lang in LANGS for p in _pairs(lang)]
     per = corpus_per(all_pairs)
     assert per <= OVERALL_CEILING, f"overall builtin PER {per:.3f} > {OVERALL_CEILING}"

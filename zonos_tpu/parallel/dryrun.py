@@ -32,12 +32,26 @@ def _tiny_cfg() -> ZonosConfig:
 
 
 def run_dryrun(n_devices: int) -> None:
-    # The dry run builds every model with random weights by design; skip the
-    # hub fallback so air-gapped/CI hosts fail fast to random init instead of
-    # paying ~25 s of network retry backoff per checkpoint probe (utils/hub.py).
+    # The dry run builds every model with random weights by design; force the
+    # hub probe offline for its scope so air-gapped/CI hosts fail fast to
+    # random init instead of paying ~25 s of network retry backoff per
+    # checkpoint probe (utils/hub.py) — even inside the shipped container,
+    # which exports ZONOS_TPU_OFFLINE=0.  Restored on exit so a host process
+    # that runs a dryrun preflight keeps its own hub behavior (ADVICE r4).
     import os
 
-    os.environ.setdefault("ZONOS_TPU_OFFLINE", "1")
+    prev_offline = os.environ.get("ZONOS_TPU_OFFLINE")
+    os.environ["ZONOS_TPU_OFFLINE"] = "1"
+    try:
+        _run_dryrun_body(n_devices)
+    finally:
+        if prev_offline is None:
+            os.environ.pop("ZONOS_TPU_OFFLINE", None)
+        else:
+            os.environ["ZONOS_TPU_OFFLINE"] = prev_offline
+
+
+def _run_dryrun_body(n_devices: int) -> None:
     devices = jax.devices()[:n_devices]
     n_model = 2 if n_devices % 2 == 0 else 1
     mesh = make_mesh(n_devices // n_model, n_model, devices)
