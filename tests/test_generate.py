@@ -263,3 +263,20 @@ def test_cfg_free_fast_path_hybrid():
     ref = model.generate(prefix, cfg_scale=2.0, **kw)
     fast = model.generate(prefix, cfg_scale=1.0, **kw)
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(fast[0]))
+
+
+def test_ban_eos_pins_exact_length(model):
+    """Fixed-length mode (bench determinism, r4 verdict #1): with
+    ``SamplingParams(ban_eos=True)`` every sample generates exactly its step
+    budget — EOS is statically -inf in both the prefill sample and the
+    decode-loop bias, so RTF rows no longer depend on sampled EOS luck."""
+    B = 3
+    prefix = jax.random.normal(
+        jax.random.key(5), (2 * B, 8, model.config.backbone.d_model))
+    out = model.generate(
+        prefix, max_new_tokens=24, batch_size=B, seed=11, progress_bar=False,
+        sampling_params=SamplingParams(ban_eos=True))
+    assert [o.shape for o in out] == [(9, 24)] * B
+    eos = model.config.eos_token_id
+    for o in out:
+        assert not (o == eos).any()

@@ -200,6 +200,10 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
         x = jnp.concatenate([prefix_cond, audio_embeds.astype(prefix_cond.dtype)], axis=1)
         hidden, cache = prefill_fn(cfg.backbone, backbone_params, x, cache)
         logits = _compute_step_logits(model_params, cfg, hidden[:, -1], cfg_scale, st.use_cfg)
+        if st.sampling.ban_eos:
+            # fixed-length mode (benchmarks): EOS can never be sampled, so
+            # every sample runs exactly its step budget (trace-time gate)
+            logits = logits.at[:, :, eos_id].set(-jnp.inf)
 
         key, sub = jax.random.split(key)
         first_token = sample_from_logits(sub, logits, st.sampling).astype(jnp.int32)
@@ -232,11 +236,15 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
     def loop(model_params, state, cfg_scale, chunk_steps):
         backbone_params = model_params["backbone"]
 
-        # EOS down-weighting bias (ref: zonos/model.py:322-324)
+        # EOS down-weighting bias (ref: zonos/model.py:322-324); with
+        # ban_eos the codebook-0 EOS is -inf too (fixed-length mode)
         Vp = cfg.padded_vocab_size
         bias = jnp.zeros((K, Vp), jnp.float32)
         bias = bias.at[1:, eos_id].set(-jnp.inf)
-        bias = bias.at[0, eos_id].add(-jnp.log(1024.0))
+        if st.sampling.ban_eos:
+            bias = bias.at[0, eos_id].set(-jnp.inf)
+        else:
+            bias = bias.at[0, eos_id].add(-jnp.log(1024.0))
 
         chunk_end = state["offset"] + chunk_steps
 

@@ -74,6 +74,11 @@ class SamplingParams:
     quad: float = 0.0
     repetition_penalty: float = 3.0
     repetition_penalty_window: int = 2
+    # Statically ban the EOS token so every sample generates exactly its
+    # step budget (trace-time gate in models/tts.py).  Benchmarks use this
+    # to pin generated lengths — RTF then measures the program, not the
+    # run's sampled EOS luck.  Not part of the reference sampler surface.
+    ban_eos: bool = False
 
     @classmethod
     def greedy(cls) -> "SamplingParams":
