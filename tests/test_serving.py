@@ -592,3 +592,44 @@ def test_stream_deadline_cancels_mid_flight(tiny_model):
         assert h.cancelled
     finally:
         b.close()
+
+
+def test_request_audio_independent_of_cobatched_peers(tiny_model):
+    """Batch-composition-independent PRNG (r4 verdict #7): the same request
+    (same text/conditioning/seed) yields BIT-IDENTICAL audio whether it runs
+    alone or co-batched with arbitrary peers — each row's sampling stream is
+    keyed by its own request seed (Zonos._row_keys), never by the batch."""
+
+    def req(i, seed):
+        return TTSRequest(
+            cond_dict=make_cond_dict(text="identical either way", speaker=_spk(3)),
+            sampling=SamplingParams(),  # SAMPLED path (greedy would hide PRNG)
+            seed=seed,
+            max_new_tokens=18,
+        )
+
+    # solo: a quiet batcher window, one request
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=10.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        solo = batcher.submit(req(0, seed=1234)).wait(timeout=900)
+    finally:
+        batcher.close()
+
+    # co-batched: same request + two different peers in one window
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=1000.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        peers = [
+            TTSRequest(cond_dict=make_cond_dict(text=f"peer text {i}", speaker=_spk(i)),
+                       sampling=SamplingParams(), seed=777 + i, max_new_tokens=18)
+            for i in range(2)
+        ]
+        pendings = [batcher.submit(req(0, seed=1234))] + [batcher.submit(p) for p in peers]
+        outs = [p.wait(timeout=900) for p in pendings]
+        s = batcher.snapshot()
+        assert s["max_batch_seen"] >= 3, f"peers did not co-batch: {s}"
+    finally:
+        batcher.close()
+
+    np.testing.assert_array_equal(solo, outs[0])

@@ -180,12 +180,20 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
     def init(model_params, prefix_cond, prefix_codes, cfg_scale, key, step_limit=None):
         """prefix_cond [2B, cond_len, d]; prefix_codes [B, K, prefix_audio_len].
 
+        ``key``: a [B] batch of PRNG keys — each sample draws every token
+        from its OWN stream, so a row's audio is independent of which peers
+        share its device batch (the serving batcher co-batches requests with
+        different seeds).  A scalar key is accepted and fanned out per row
+        (``fold_in(key, row)``) for ad-hoc callers.
+
         ``step_limit`` (optional, traced): per-sample cap on new frames
         ([B] or scalar int32).  The program is compiled for
         ``statics.max_new_tokens``; shorter requests pass their duration
         here instead of recompiling — and samples with different durations
         can share one device batch (serving/batching.py)."""
         backbone_params = model_params["backbone"]
+        if key.ndim == 0:
+            key = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
         cache = cache_fn((2 if st.use_cfg else 1) * B, initial_cache_len)
 
         codes = jnp.full((B, K, audio_len), UNKNOWN_TOKEN, jnp.int32)
@@ -205,7 +213,8 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
             # every sample runs exactly its step budget (trace-time gate)
             logits = logits.at[:, :, eos_id].set(-jnp.inf)
 
-        key, sub = jax.random.split(key)
+        ks = jax.vmap(lambda k: jax.random.split(k))(key)  # [B, 2] keys
+        key, sub = ks[:, 0], ks[:, 1]
         first_token = sample_from_logits(sub, logits, st.sampling).astype(jnp.int32)
 
         offset = jnp.int32(prefill_len)
@@ -277,7 +286,8 @@ def build_generate_parts(cfg: ZonosConfig, statics: GenerateStatics,
                 s["delayed"], jnp.maximum(offset - window, 0), window, axis=2
             )
 
-            key, k1, k2 = jax.random.split(s["key"], 3)
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(s["key"])  # [B, 3]
+            key, k1, k2 = ks[:, 0], ks[:, 1], ks[:, 2]
             token = sample_from_logits(
                 k1, logits, st.sampling, generated_tokens=gen_window, repetition_penalty=rp
             ).astype(jnp.int32)
@@ -553,6 +563,30 @@ class Zonos:
             self._generate_cache[(statics, cache_len)] = parts
         return parts
 
+    def _row_keys(self, seed, batch_size: int) -> jnp.ndarray:
+        """Per-sample PRNG keys [B] from ``seed`` (scalar or per-row list).
+
+        Row i's key is ``fold_in(key(0), seed_i)`` — a function of that
+        row's seed ALONE, so a request's sampled audio is bit-identical
+        whether it runs solo or co-batched with arbitrary peers (the
+        serving batcher passes each request's own seed).  A scalar seed
+        fans out as ``seed + row`` (distinct rows stay distinct; batch 1
+        matches a serving row with the same seed).
+
+        Built on the host CPU backend: eager device ops here would each be
+        a full round-trip on a tunneled TPU for a few bytes the jitted init
+        transfers anyway."""
+        seeds = np.asarray(seed, np.int64)
+        if seeds.ndim == 0:
+            seeds = int(seeds) + np.arange(batch_size, dtype=np.int64)
+        elif seeds.shape != (batch_size,):
+            raise ValueError(f"seed must be a scalar or length-{batch_size} "
+                             f"sequence, got shape {seeds.shape}")
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            base = jax.random.key(0)
+            return jax.vmap(lambda s: jax.random.fold_in(base, s))(
+                jnp.asarray(seeds.astype(np.uint32)))
+
     def _grow_cache(self, cache, new_len: int):
         if self.config.backbone.is_transformer:
             return cache.grow(new_len)
@@ -590,7 +624,12 @@ class Zonos:
         ``step_limits``: per-sample (or scalar) cap on new frames, traced —
         shorter requests run under the SAME compiled program (sized by
         ``max_new_tokens``) and are trimmed to their own cap; with cache
-        growth the cache also stops growing when all samples finish."""
+        growth the cache also stops growing when all samples finish.
+
+        ``seed``: scalar, or a length-``batch_size`` sequence of per-sample
+        seeds.  Each sample draws from its own stream keyed by its seed
+        alone (see :meth:`_row_keys`), so a sample's codes do not depend on
+        its co-batched peers; a scalar fans out as ``seed + row``."""
         if prefix_conditioning.shape[0] != 2 * batch_size:
             raise ValueError(
                 f"prefix_conditioning batch {prefix_conditioning.shape[0]} != 2*{batch_size}"
@@ -642,17 +681,12 @@ class Zonos:
             limits_arr = jnp.broadcast_to(
                 jnp.asarray(step_limits, jnp.int32), (batch_size,)
             )
-        # build the key on the host CPU backend: jax.random.key on the
-        # default device is one eager dispatch — a full round-trip on a
-        # tunneled TPU — for 16 bytes the jitted init transfers anyway
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            key = jax.random.key(seed)
         state = init(
             self.params,
             jnp.asarray(prefix_conditioning, self.compute_dtype),
             prefix_codes,
             cfg_scale_arr,
-            key,
+            self._row_keys(seed, batch_size),
             step_limit=limits_arr,
         )
         max_steps = max_new_tokens + K - 1
@@ -848,14 +882,12 @@ class Zonos:
         if step_limits is not None:
             limits_np = np.broadcast_to(np.asarray(step_limits, np.int64), (B,))
             limits_arr = jnp.asarray(limits_np, jnp.int32)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            key = jax.random.key(seed)
         state = init(
             self.params,
             jnp.asarray(prefix_conditioning, self.compute_dtype),
             prefix_codes,
             cfg_scale_arr,
-            key,
+            self._row_keys(seed, B),
             step_limit=limits_arr,
         )
 

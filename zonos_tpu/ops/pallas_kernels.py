@@ -242,7 +242,10 @@ def fused_sample_pallas(
     """Returns sampled ids [B, K].  Covers the default Zonos pipeline
     (unified + min-p); top-p/top-k fall back to the XLA path."""
     B, K, V = logits.shape
-    gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
+    if key.ndim:  # [B] per-row keys: each row draws from its own stream
+        gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (K, V), jnp.float32))(key)
+    else:
+        gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
     kernel = functools.partial(
         _sampling_kernel, linear=linear, conf=conf, quad=quad,
         min_p=min_p, temperature=temperature,

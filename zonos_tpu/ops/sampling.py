@@ -159,8 +159,17 @@ def categorical_race(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
 
     Identical in distribution to the reference's exponential race
     (zonos/sampling.py:26-28): argmax(p/q), q ~ Exp(1)  ==  argmax(log p + G).
-    """
-    g = jax.random.gumbel(key, probs.shape, dtype=jnp.float32)
+
+    ``key`` may be one key (one stream covers the whole batch) or a [B]
+    batch of keys matching ``probs``'s leading axis — then each row draws
+    from its OWN stream, so a row's tokens are independent of which peers
+    share its device batch (batch-composition-independent serving PRNG)."""
+    if key.ndim:
+        g = jax.vmap(
+            lambda k, p: jax.random.gumbel(k, p.shape, dtype=jnp.float32)
+        )(key, probs)
+    else:
+        g = jax.random.gumbel(key, probs.shape, dtype=jnp.float32)
     scores = jnp.where(probs > 0, jnp.log(probs) + g, NEG_INF)
     return jnp.argmax(scores, axis=-1)
 

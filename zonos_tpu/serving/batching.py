@@ -414,7 +414,7 @@ class ContinuousBatcher:
                 prefix_s = jax.ShapeDtypeStruct((rows, cond_len, d), jnp.bfloat16)
                 pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
                 scale_s = jax.ShapeDtypeStruct((), jnp.float32)
-                key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+                key_s = jax.ShapeDtypeStruct((B,), jax.random.key(0).dtype)  # per-row keys
                 limit_s = jax.ShapeDtypeStruct((B,), jnp.int32)  # per-sample caps
                 state_s = jax.eval_shape(
                     init, model.params, prefix_s, pcodes_s, scale_s, key_s, step_limit=limit_s
@@ -474,7 +474,7 @@ class ContinuousBatcher:
                     prefix_s = jax.ShapeDtypeStruct((rows, cond_len, d), jnp.bfloat16)
                     pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
                     scale_s = jax.ShapeDtypeStruct((), jnp.float32)
-                    key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+                    key_s = jax.ShapeDtypeStruct((B,), jax.random.key(0).dtype)  # per-row keys
                     limit_s = jax.ShapeDtypeStruct((B,), jnp.int32)
                     state_s = jax.eval_shape(init, model.params, prefix_s, pcodes_s,
                                              scale_s, key_s, step_limit=limit_s)
@@ -671,13 +671,18 @@ class ContinuousBatcher:
                 # forward + decode loop + vocoder (streaming must not
                 # interleave)
                 prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
+                # per-request seeds: each row's stream is keyed by its own
+                # request seed, so a request's audio is bit-identical solo
+                # or co-batched (padding rows reuse the last seed; dropped)
+                seeds = [int(r.seed) for r, _ in batch]
+                seeds += [seeds[-1]] * (Bp - B)
                 codes = self.model.generate(
                     prefix,
                     batch_size=Bp,
                     max_new_tokens=program_frames_bucket(max(limits)),
                     cfg_scale=key.cfg_scale,
                     sampling_params=key.sampling,
-                    seed=batch[0][0].seed,  # one PRNG stream per device batch
+                    seed=seeds,
                     progress_bar=False,
                     step_limits=limits,
                 )
@@ -743,13 +748,15 @@ class ContinuousBatcher:
             t0 = time.monotonic()
             with self.device_lock:
                 prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
+            seeds = [int(r.seed) for r, _ in batch]
+            seeds += [seeds[-1]] * (Bp - B)  # padding rows: any seed, muted
             gen = self.model.stream_generate_batch(
                 prefix,
                 batch_size=Bp,
                 max_new_tokens=program_frames_bucket(max(limits)),
                 cfg_scale=key.cfg_scale,
                 sampling_params=key.sampling,
-                seed=batch[0][0].seed,  # one PRNG stream per device batch
+                seed=seeds,  # per-request streams (batch-composition-free)
                 step_limits=limits,
                 chunk_frames=chunk_frames,
                 margin_frames=margin_frames,
