@@ -633,3 +633,99 @@ def test_request_audio_independent_of_cobatched_peers(tiny_model):
         batcher.close()
 
     np.testing.assert_array_equal(solo, outs[0])
+
+
+def _clone(model):
+    return Zonos(model.config, params=model.params)
+
+
+def _run_batcher(model, texts, seeds, stream=False, buckets=(1, 2, 4)):
+    """Submit a sync batch (or a streaming group) and return per-request
+    waveforms + the stats snapshot."""
+    from zonos_tpu.serving import StreamRequest
+
+    batcher = ContinuousBatcher(model, max_batch=4, max_wait_ms=1000.0,
+                                cond_pad_multiple=16, batch_buckets=buckets)
+    try:
+        if stream:
+            handles = [batcher.submit_stream(StreamRequest(
+                cond_dict=make_cond_dict(text=t, speaker=_spk(i)),
+                sampling=SamplingParams(), seed=s, max_new_tokens=24,
+                chunk_frames=8, margin_frames=12))
+                for i, (t, s) in enumerate(zip(texts, seeds))]
+            outs = [np.concatenate(list(h.chunks(timeout=900)) or [np.zeros(1, np.float32)])
+                    for h in handles]
+        else:
+            pendings = [batcher.submit(TTSRequest(
+                cond_dict=make_cond_dict(text=t, speaker=_spk(i)),
+                sampling=SamplingParams(), seed=s, max_new_tokens=18))
+                for i, (t, s) in enumerate(zip(texts, seeds))]
+            outs = [p.wait(timeout=900) for p in pendings]
+        snap = batcher.snapshot()
+    finally:
+        batcher.close()
+    return outs, snap
+
+
+def test_batcher_over_sharded_model_data_parallel(tiny_model):
+    """The continuous batcher drives a Zonos.shard(mesh) model (r4 verdict
+    #3: the 'layout-agnostic' SERVING.md claim, previously never tested).
+    On a pure data-parallel mesh the per-row numerics are unchanged, so the
+    sharded batcher's outputs must be BIT-IDENTICAL to the unsharded one —
+    sync batch and a streaming group both."""
+    import jax
+
+    from zonos_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    texts = ["sharded serving one", "sharded serving two", "sharded serving three"]
+    seeds = [101, 202, 303]
+
+    ref, _ = _run_batcher(tiny_model, texts, seeds, buckets=(4,))
+    sharded = _clone(tiny_model).shard(make_mesh(4, 1, jax.devices()[:4]))
+    got, snap = _run_batcher(sharded, texts, seeds, buckets=(4,))
+    assert snap["max_batch_seen"] >= 3, f"requests did not co-batch: {snap}"
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    ref_s, _ = _run_batcher(tiny_model, texts[:2], seeds[:2], stream=True, buckets=(2,))
+    got_s, snap_s = _run_batcher(sharded, texts[:2], seeds[:2], stream=True, buckets=(2,))
+    assert snap_s["streams"] == 2
+    for a, b in zip(ref_s, got_s):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_batcher_over_tensor_parallel_model(tiny_model):
+    """Full {data:4, model:2} serving mesh: the batcher's sync, streaming,
+    and warmup paths all run against TP-sharded params.  Outputs are checked
+    for contract (shape/finiteness/completion), not bit-equality — the TP
+    all-reduce reorders bf16 sums, and one near-tie flip rewrites every
+    later sampled token (see test_sharded_generate_matches_single_device)."""
+    import jax
+
+    from zonos_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sharded = _clone(tiny_model).shard(make_mesh(4, 2))
+
+    outs, snap = _run_batcher(sharded, ["tensor parallel serving", "second row"],
+                              [7, 8], buckets=(2,))
+    assert snap["completed"] == 2 and snap["failed"] == 0
+    for w in outs:
+        w = np.asarray(w)
+        assert w.size > 0 and np.isfinite(w).all()
+
+    outs_s, snap_s = _run_batcher(sharded, ["streaming on tp"], [9],
+                                  stream=True, buckets=(1,))
+    assert snap_s["streams"] == 1 and np.isfinite(outs_s[0]).all()
+
+    # warmup compiles the serving programs against the sharded layout
+    batcher = ContinuousBatcher(sharded, max_batch=2, max_wait_ms=10.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2))
+    try:
+        n = batcher.warmup(cond_lens=(32,), max_new_tokens=(512,))
+        assert n > 0
+    finally:
+        batcher.close()

@@ -149,3 +149,29 @@ def _run_dryrun_body(n_devices: int) -> None:
     assert len(out) == B and all(o.shape[0] == 9 for o in out)
     print(f"dryrun hybrid ok: sharded Mamba2+attention generate, batch {B}, "
           f"mesh {dict(mesh.shape)}")
+
+    # CONTINUOUS BATCHER over the sharded model: the serving layer's
+    # scheduler merges real requests (text frontend -> batched prefix
+    # conditioning -> bucketed generate) against tensor/data-sharded params
+    # — the layout-agnostic claim of docs/SERVING.md, driven, not asserted
+    from zonos_tpu.conditioning import make_cond_dict
+    from zonos_tpu.serving import ContinuousBatcher, TTSRequest
+
+    batcher = ContinuousBatcher(model, max_batch=4, max_wait_ms=500.0,
+                                cond_pad_multiple=16, batch_buckets=(2, 4))
+    try:
+        spk = np.zeros((1, 1, 128), np.float32)
+        pendings = [
+            batcher.submit(TTSRequest(
+                cond_dict=make_cond_dict(text=f"sharded serving {i}", speaker=spk),
+                sampling=SamplingParams.greedy(), seed=i, max_new_tokens=10))
+            for i in range(2)
+        ]
+        wavs = [p.wait(timeout=900) for p in pendings]
+        assert all(w.shape[-1] > 0 and np.isfinite(w).all() for w in wavs)
+        snap = batcher.snapshot()
+        assert snap["completed"] == 2 and snap["failed"] == 0
+    finally:
+        batcher.close()
+    print(f"dryrun batcher ok: {len(wavs)} sharded serving requests, "
+          f"max_batch_seen {snap['max_batch_seen']}")
