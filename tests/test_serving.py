@@ -729,3 +729,57 @@ def test_batcher_over_tensor_parallel_model(tiny_model):
         assert n > 0
     finally:
         batcher.close()
+
+
+def test_server_longform_carry_matches_offline(server):
+    """r4 verdict #6: '/v1/tts long:true' now carries audio-prefix voice
+    continuity through the batcher (codes_only segments + prefix-attached
+    vocode), reusing longform.synthesize_long's own orchestration — so the
+    server's long-form audio is BIT-IDENTICAL to the offline path under the
+    same seed/budget/carry."""
+    from zonos_tpu import longform
+    from zonos_tpu.audio import normalize_loudness
+    from zonos_tpu.serving import ServerState
+    from zonos_tpu.serving.batching import program_frames_bucket
+
+    _, shared = server
+    text = ("The first sentence runs here. Then a second one follows. "
+            "Finally a third sentence ends it.")
+    budget, carry, seed = 1.0, 8, 55
+
+    body = {"text": text, "long": True, "max_segment_seconds": budget,
+            "carry_frames": carry, "seed": seed}
+    # identity holds at the DEFAULT cond_pad_multiple=32 (the offline path
+    # buckets phoneme lengths to 32); the shared fixture's batcher pads to
+    # 16, so build a default-configured state over the same model
+    state = ServerState(shared.model, max_batch=4, max_wait_ms=20.0)
+    try:
+        server_wav = state.synthesize_long(body)
+    finally:
+        state.close()
+
+    frames = max(9, min(86 * 30, int(min(budget * 1.2 + 1.0, 30.0) * 86)))
+    offline_wav, seg_codes = longform.synthesize_long(
+        state.model, text, language="en-us",
+        sampling_params=SamplingParams(), cfg_scale=2.0, seed=seed,
+        max_segment_seconds=budget, carry_frames=carry,
+        max_new_tokens=program_frames_bucket(frames))
+    assert len(seg_codes) >= 2, "text should split into multiple segments"
+    np.testing.assert_array_equal(
+        np.asarray(server_wav, np.float32).reshape(-1),
+        np.asarray(normalize_loudness(offline_wav, 44100, target_lufs=-23.0),
+                   np.float32).reshape(-1))
+
+
+def test_server_longform_parallel_mode(server):
+    """carry:false keeps the r4 parallel crossfade mode."""
+    base, _ = server
+    body = {"text": "One sentence here. Another sentence there.",
+            "long": True, "carry": False, "max_segment_seconds": 1.0,
+            "sampling": {"temperature": 0.0, "linear": 0.0, "conf": 0.0,
+                         "repetition_penalty": 1.0}}
+    with _post_json(base + "/v1/tts", body) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == 44100 and w.getnframes() > 0

@@ -160,6 +160,8 @@ def synthesize_long(
     initial_prefix_codes: np.ndarray | None = None,
     retries: int = 2,
     step_callback=None,
+    generate_fn=None,
+    decode_fn=None,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Synthesize arbitrary-length ``text`` -> (waveform float32 [S], per-
     segment codes).  ``cond_overrides`` are extra make_cond_dict kwargs
@@ -169,6 +171,15 @@ def synthesize_long(
     decode chunk inside each segment (fine-grained UI progress — the
     step-callback contract of zonos/model.py:430-432 lifted to long-form);
     raise from it to abort the whole synthesis mid-segment (cancel).
+
+    ``generate_fn(cond_dict, prefix_codes, seed, max_new_tokens, callback)
+    -> codes [K, T]`` and ``decode_fn(codes [K, T]) -> wav [S]`` override
+    the per-segment generation/vocode (defaults: ``model.generate`` /
+    ``model.autoencoder.decode``).  The serving layer routes segments
+    through its continuous batcher with these hooks, so the SAME seam
+    discipline (seed schedule, carry slicing, prefix-attached decode)
+    yields bit-identical long-form audio online and offline
+    (tests/test_serving.py::test_server_longform_carry_matches_offline).
 
     Each segment after the first is generated from the previous segment's
     last ``carry_frames`` codes (audio-prefix continuity) and decoded with
@@ -185,6 +196,27 @@ def synthesize_long(
     rate = float(overrides.get("speaking_rate", 15.0))
     segments = segment_texts(text, language, rate, max_segment_seconds)
 
+    if generate_fn is None:
+        def generate_fn(cond, prefix_codes, seg_seed, max_tokens, cb):
+            # bucket the phoneme length so segments of different lengths
+            # reuse one compiled decode program (same trick as the SRT
+            # pipeline)
+            prefix_cond = model.prepare_conditioning(cond, pad_to_multiple=32)
+            return model.generate(
+                prefix_cond,
+                audio_prefix_codes=None if prefix_codes is None else prefix_codes[None, ...],
+                max_new_tokens=max_tokens,
+                cfg_scale=cfg_scale,
+                batch_size=1,
+                sampling_params=sampling_params,
+                seed=seg_seed,
+                progress_bar=progress_bar,
+                callback=cb,
+            )[0]  # [K, T_new] — generate strips the carried prefix itself
+    if decode_fn is None:
+        def decode_fn(dec_in):
+            return np.asarray(model.autoencoder.decode(dec_in[None, ...])[0, 0])
+
     wavs: list[np.ndarray] = []
     all_codes: list[np.ndarray] = []
     carry: np.ndarray | None = None
@@ -195,27 +227,14 @@ def synthesize_long(
     for i, seg in enumerate(segments):
         cond = make_cond_dict(text=seg, speaker=speaker, language=language,
                               **overrides)
-        # bucket the phoneme length so segments of different lengths reuse
-        # one compiled decode program (same trick as the SRT pipeline)
-        prefix_cond = model.prepare_conditioning(cond, pad_to_multiple=32)
         cb = None
         if step_callback is not None:
             n_seg = len(segments)
             cb = (lambda i=i, n=n_seg: lambda _frame, step, total:
                   step_callback(i, n, step, total) is not False)()
         for attempt in range(retries + 1):
-            codes = model.generate(
-                prefix_cond,
-                audio_prefix_codes=None if carry is None else carry[None, ...],
-                max_new_tokens=max_new_tokens,
-                cfg_scale=cfg_scale,
-                batch_size=1,
-                sampling_params=sampling_params,
-                seed=seed + i + attempt * 7919,
-                progress_bar=progress_bar,
-                callback=cb,
-            )[0]  # [K, T_new] — generate strips the carried prefix itself
-            codes = np.asarray(codes)
+            codes = np.asarray(generate_fn(
+                cond, carry, seed + i + attempt * 7919, max_new_tokens, cb))
             if codes.shape[-1] > 0:
                 break
         if codes.shape[-1] == 0:  # degenerate after retries: instant EOS
@@ -229,7 +248,7 @@ def synthesize_long(
         # emitted sample then has full vocoder left-context
         dec_in = codes if carry is None else np.concatenate([carry, codes], -1)
         prefix_len = dec_in.shape[-1] - codes.shape[-1]
-        wav = np.asarray(model.autoencoder.decode(dec_in[None, ...])[0, 0])
+        wav = np.asarray(decode_fn(dec_in))
         hop = wav.shape[-1] // dec_in.shape[-1]  # 512 for the 44.1k codec
         wav = wav[prefix_len * hop:]
         wavs.append(wav)

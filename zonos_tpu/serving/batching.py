@@ -132,11 +132,18 @@ class BatchKey:
     ``stream`` is ``None`` for whole-utterance requests; streaming requests
     carry their (chunk_frames, margin_frames) so co-batched streams share
     one emission cadence — streaming and non-streaming never mix (their
-    device programs are driven differently)."""
+    device programs are driven differently).
+
+    ``prefix_len`` is the audio-prefix length in frames: the decode program
+    is compiled per prefix_audio_len and the batched prefix tensor has one
+    length, so requests with different prefix lengths never share a batch
+    (long-form carry uses one fixed ``carry_frames``, so its segments all
+    land in the same bucket)."""
 
     sampling: SamplingParams
     cfg_scale: float
     stream: tuple | None = None
+    prefix_len: int = 0
 
 
 class ServerOverloaded(RuntimeError):
@@ -168,10 +175,22 @@ class TTSRequest:
     # batch; a streaming request past it is cancelled mid-flight.  None =
     # no deadline.
     deadline_s: float | None = None
+    # Audio-prefix codes [K, P] this request's generation continues from
+    # (voice/prosody continuity — the model's audio-prefix mechanism, ref
+    # model.py:288-292).  Requests sharing a prefix LENGTH co-batch; the
+    # long-form carry path uses a fixed carry_frames so its segments bucket
+    # together.  The prefix frames are not part of the output.
+    audio_prefix_codes: np.ndarray | None = None
+    # Return the generated DAC codes [K, T] instead of a vocoded waveform
+    # (PendingResult.wait then yields int codes).  The long-form carry
+    # orchestrator needs codes to thread the seam prefix and vocodes each
+    # segment WITH its carried context attached (longform.py's discipline).
+    codes_only: bool = False
 
     @property
     def key(self) -> BatchKey:
-        return BatchKey(self.sampling, float(self.cfg_scale))
+        p = 0 if self.audio_prefix_codes is None else int(self.audio_prefix_codes.shape[-1])
+        return BatchKey(self.sampling, float(self.cfg_scale), prefix_len=p)
 
 
 @dataclasses.dataclass
@@ -187,8 +206,10 @@ class StreamRequest(TTSRequest):
 
     @property
     def key(self) -> BatchKey:
+        p = 0 if self.audio_prefix_codes is None else int(self.audio_prefix_codes.shape[-1])
         return BatchKey(self.sampling, float(self.cfg_scale),
-                        (int(self.chunk_frames), int(self.margin_frames)))
+                        (int(self.chunk_frames), int(self.margin_frames)),
+                        prefix_len=p)
 
 
 class StreamHandle:
@@ -368,9 +389,13 @@ class ContinuousBatcher:
         max_new_tokens: int | tuple[int, ...] = (512, 1024, 1536, 2048, 86 * 30),
         sampling: SamplingParams | None = None,
         use_cfg: bool = True,
+        prefix_audio_lens: tuple[int, ...] = (0,),
     ) -> int:
         """Precompile the decode programs steady-state serving will hit:
         every batch bucket × padded cond_len × cache-growth bucket.
+        ``prefix_audio_lens``: audio-prefix lengths to warm as well — the
+        decode program is compiled per prefix length, so a deployment
+        serving long-form carry traffic warms ``(0, carry_frames)``.
 
         Uses ``jit.lower(...).compile()`` on shape structs — no device
         execution, just compilation — so a server can warm in a background
@@ -392,12 +417,15 @@ class ContinuousBatcher:
         frame_buckets = (max_new_tokens,) if isinstance(max_new_tokens, int) else max_new_tokens
         count = 0
         for B in self.batch_buckets:
-            for cond_len, frames in [(c, f) for c in cond_lens for f in frame_buckets]:
+            for cond_len, frames, plen in [
+                (c, f, p) for c in cond_lens for f in frame_buckets
+                for p in prefix_audio_lens
+            ]:
                 statics = GenerateStatics(
-                    batch_size=B, cond_len=cond_len, prefix_audio_len=0,
+                    batch_size=B, cond_len=cond_len, prefix_audio_len=plen,
                     max_new_tokens=frames, sampling=sampling, use_cfg=use_cfg,
                 )
-                total_seq = find_multiple(cond_len + frames + K, 64)
+                total_seq = find_multiple(cond_len + plen + frames + K, 64)
                 # MUST mirror Zonos.generate's default exactly, or serving
                 # compiles the real programs at request time anyway
                 from zonos_tpu.models.tts import default_cache_growth
@@ -406,13 +434,13 @@ class ContinuousBatcher:
                     total_seq, B, model.config.backbone.is_transformer
                 )
                 first = (
-                    find_multiple(min(total_seq, cond_len + 1 + 256), 64)
+                    find_multiple(min(total_seq, cond_len + plen + 1 + 256), 64)
                     if use_growth else None
                 )
                 init, loop = model._get_generate_parts(statics, first)
                 rows = (2 if use_cfg else 1) * B
                 prefix_s = jax.ShapeDtypeStruct((rows, cond_len, d), jnp.bfloat16)
-                pcodes_s = jax.ShapeDtypeStruct((B, K, 0), jnp.int32)
+                pcodes_s = jax.ShapeDtypeStruct((B, K, plen), jnp.int32)
                 scale_s = jax.ShapeDtypeStruct((), jnp.float32)
                 key_s = jax.ShapeDtypeStruct((B,), jax.random.key(0).dtype)  # per-row keys
                 limit_s = jax.ShapeDtypeStruct((B,), jnp.int32)  # per-sample caps
@@ -676,8 +704,15 @@ class ContinuousBatcher:
                 # or co-batched (padding rows reuse the last seed; dropped)
                 seeds = [int(r.seed) for r, _ in batch]
                 seeds += [seeds[-1]] * (Bp - B)
+                apc = None
+                if key.prefix_len > 0:
+                    apc = np.stack([np.asarray(r.audio_prefix_codes, np.int32)
+                                    for r, _ in batch]
+                                   + [np.asarray(batch[-1][0].audio_prefix_codes,
+                                                 np.int32)] * (Bp - B))
                 codes = self.model.generate(
                     prefix,
+                    audio_prefix_codes=apc,
                     batch_size=Bp,
                     max_new_tokens=program_frames_bucket(max(limits)),
                     cfg_scale=key.cfg_scale,
@@ -689,21 +724,27 @@ class ContinuousBatcher:
                 # instant-EOS rows produce zero-length code sequences;
                 # decode(0 frames) returns transposed-conv edge garbage, so
                 # drop them here the same way codes_to_wavs does
-                wav_lists = [
-                    (([np.asarray(self.model.autoencoder.decode(np.asarray(c)[None, ...])[0])]
-                      if c.shape[-1] > 0 else [])
-                     if r.raw_decode
-                     else self.model.autoencoder.codes_to_wavs([c]))
-                    for (r, _), c in zip(batch, codes[:B])
-                ]
+                results = []
+                for (r, _), c in zip(batch, codes[:B]):
+                    if r.codes_only:
+                        results.append(np.asarray(c))  # [K, T] int codes
+                    elif r.raw_decode:
+                        results.append(
+                            np.asarray(self.model.autoencoder.decode(
+                                np.asarray(c)[None, ...])[0])
+                            if c.shape[-1] > 0 else np.zeros((1, 512), np.float32))
+                    else:
+                        wavs = self.model.autoencoder.codes_to_wavs([c])
+                        results.append(wavs[0] if wavs
+                                       else np.zeros((1, 512), np.float32))
             gen_s = time.monotonic() - t0
             audio_s = 0.0
             lat = []
             outs = []
-            for (_, pending), wavs in zip(batch, wav_lists):
-                wav = wavs[0] if wavs else np.zeros((1, 512), np.float32)
-                audio_s += wav.shape[-1] / 44100.0
-                outs.append((pending, wav))
+            for (r, pending), out in zip(batch, results):
+                audio_s += (out.shape[-1] / FRAME_RATE if r.codes_only
+                            else out.shape[-1] / 44100.0)
+                outs.append((pending, out))
                 if hasattr(pending, "_submitted"):
                     lat.append(time.monotonic() - pending._submitted)
             # update stats BEFORE releasing results: a client that wakes on
@@ -750,8 +791,15 @@ class ContinuousBatcher:
                 prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
             seeds = [int(r.seed) for r, _ in batch]
             seeds += [seeds[-1]] * (Bp - B)  # padding rows: any seed, muted
+            apc = None
+            if key.prefix_len > 0:
+                apc = np.stack([np.asarray(r.audio_prefix_codes, np.int32)
+                                for r, _ in batch]
+                               + [np.asarray(batch[-1][0].audio_prefix_codes,
+                                             np.int32)] * (Bp - B))
             gen = self.model.stream_generate_batch(
                 prefix,
+                audio_prefix_codes=apc,
                 batch_size=Bp,
                 max_new_tokens=program_frames_bucket(max(limits)),
                 cfg_scale=key.cfg_scale,

@@ -145,16 +145,23 @@ class ServerState:
         )
 
     def synthesize_long(self, body: dict) -> np.ndarray:
-        """``"long": true`` requests: split the text into duration-budgeted
-        segments and submit them ALL to the continuous batcher up front —
-        the request's own segments batch with each other and with other
-        traffic instead of holding the device serially.  Segments decode
-        raw (``raw_decode``: no per-segment trim/fade/loudness, which would
-        land a ~232 ms fade-out at every seam), are joined with a short
-        crossfade, and the loudness target is applied ONCE to the result.
-        (The batcher path has no cross-segment audio-prefix carry — per-row
-        prefix lengths don't batch; the CLI/`zonos_tpu.longform` path
-        provides full carry continuity for offline use.)"""
+        """``"long": true`` requests.
+
+        Default (``"carry": true``): segments are generated SEQUENTIALLY,
+        each continuing from the previous segment's last ``carry_frames``
+        codes (audio-prefix voice/prosody continuity) and vocoded WITH that
+        carried context attached — the exact seam discipline of
+        ``zonos_tpu.longform.synthesize_long``, routed through the
+        continuous batcher (segments still co-batch with other traffic;
+        carry segments share one prefix-length bucket).  Output is
+        bit-identical to the offline path under the same seed
+        (tests/test_serving.py).
+
+        ``"carry": false``: the round-4 parallel mode — all segments are
+        submitted up front (they batch with each other), decoded raw, and
+        joined with a short crossfade.  Higher throughput, no cross-seam
+        voice carry.  Loudness is normalized ONCE on the joined result in
+        both modes."""
         from zonos_tpu.audio import normalize_loudness
         from zonos_tpu.longform import segment_texts
 
@@ -165,7 +172,77 @@ class ServerState:
         if not 0 < budget <= 29.0:
             raise ValueError("max_segment_seconds must be in (0, 29] "
                              "(the model caps one generation at 30 s)")
-        segments = segment_texts(text, body.get("language", "en-us"),
+        if body.get("carry", True):
+            wav = self._synthesize_long_carry(body, budget)
+        else:
+            wav = self._synthesize_long_parallel(body, budget)
+        return normalize_loudness(wav, 44100, target_lufs=-23.0)
+
+    def _synthesize_long_carry(self, body: dict, budget: float) -> np.ndarray:
+        from zonos_tpu import longform
+        from zonos_tpu.serving.batching import program_frames_bucket
+
+        # per-segment frame budget from the SEGMENT cap (+20% slack for the
+        # rate estimate — same rule as the parallel mode), snapped to the
+        # program-size bucket the batcher would use anyway; the offline
+        # seam-identity test passes the same value to longform directly
+        base = self.request_from_json(
+            {**body, "max_seconds": min(budget * 1.2 + 1.0, 30.0)})
+        carry_frames = int(body.get("carry_frames", 43))
+        max_tokens = program_frames_bucket(base.max_new_tokens)
+
+        def gen_via_batcher(cond, prefix_codes, seg_seed, max_new_tokens, _cb):
+            from zonos_tpu.serving.batching import TTSRequest
+
+            req = TTSRequest(
+                cond_dict=cond,
+                sampling=base.sampling,
+                cfg_scale=base.cfg_scale,
+                seed=seg_seed,
+                max_new_tokens=max_new_tokens,
+                codes_only=True,
+                audio_prefix_codes=prefix_codes,
+                deadline_s=base.deadline_s,
+            )
+            return self.batcher.submit(req).wait(timeout=600)
+
+        def decode_with_lock(dec_in):
+            with self.device_lock:
+                return np.asarray(self.model.autoencoder.decode(dec_in[None, ...])[0, 0])
+
+        speaker = None
+        sid = body.get("speaker_id")
+        if sid is not None:
+            speaker = self.speakers.get(sid)
+            if speaker is None:
+                raise ValueError(f"unknown speaker_id {sid!r}; POST /v1/speakers first")
+        overrides = {k: body[k] for k in
+                     ("emotion", "fmax", "pitch_std", "speaking_rate",
+                      "vqscore_8", "ctc_loss", "dnsmos_ovrl", "speaker_noised")
+                     if k in body}
+        if "unconditional_keys" in body:
+            overrides["unconditional_keys"] = frozenset(body["unconditional_keys"])
+        wav, _codes = longform.synthesize_long(
+            self.model,
+            body["text"],
+            language=body.get("language", "en-us"),
+            speaker=speaker,
+            cond_overrides=overrides,
+            sampling_params=base.sampling,
+            cfg_scale=base.cfg_scale,
+            seed=int(body.get("seed", 423)),
+            max_segment_seconds=budget,
+            carry_frames=carry_frames,
+            max_new_tokens=max_tokens,
+            generate_fn=gen_via_batcher,
+            decode_fn=decode_with_lock,
+        )
+        return np.asarray(wav, np.float32).reshape(-1)
+
+    def _synthesize_long_parallel(self, body: dict, budget: float) -> np.ndarray:
+        from zonos_tpu.longform import segment_texts
+
+        segments = segment_texts(body["text"], body.get("language", "en-us"),
                                  float(body.get("speaking_rate", 15.0)),
                                  budget)
 
@@ -182,8 +259,7 @@ class ServerState:
             pending.append(self.batcher.submit(req))
         wavs = [np.asarray(p.wait(timeout=600), np.float32).reshape(-1)
                 for p in pending]
-        wav = _crossfade_concat(wavs, sr=44100, fade_ms=20.0)
-        return normalize_loudness(wav, 44100, target_lufs=-23.0)
+        return _crossfade_concat(wavs, sr=44100, fade_ms=20.0)
 
 
 def make_handler(state: ServerState):
