@@ -29,9 +29,15 @@ fix the old docstring prescribed) measures XLA-parity at H=32
 (3.25-3.43 ms vs 3.21 across head_tile 8/4 — 39x faster than the old
 loop) and at flagship width (H=64) **3.64 ms vs 4.17 — 13% FASTER than
 XLA** (head_tile sweep: T=4 beats T=8's 3.92; T=16 exceeds the 16 MB
-scoped-VMEM limit; default 4).  Still opt-in
-(``ZONOS_TPU_PALLAS=1``): the win is within noise of end-to-end prefill
-cost, the XLA path keeps CPU-testability, and the kernel's different
+scoped-VMEM limit; default 4).
+
+r5: DEFAULT ON for TPU.  The end-to-end measurement the r4 verdict asked
+for (tools/ssd_e2e_bench.py, flagship hybrid int8 through the public
+generate/stream paths): prefill wall with a 960-frame audio prefix
+159.0 -> 144.5 ms (**9.1% faster**), ordinary 64-token prefill
+67.1 -> 63.3 ms (5.6%), streaming TTFA unchanged (200.9 vs 201.1 ms —
+decode-dominated).  ``ZONOS_TPU_PALLAS_SSM=0`` pins the XLA path (still
+the CPU path and oracle).  Caveat unchanged: the kernel's different
 reduction order produces float-level differences that can flip near-tied
 greedy picks (verified composing inside the real on-chip ``generate``:
 runs fine; codes match XLA only up to that argmax sensitivity).

@@ -16,6 +16,8 @@ A ``[H]`` (negative), B/C ``[B, L, G, N]`` (ngroups x state), D ``[H]``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -38,12 +40,23 @@ def ssd_chunked(
 ):
     """Full-sequence SSD. Returns (y [B, L, H, P], final_state [B, H, P, N]).
 
-    With ``ZONOS_TPU_PALLAS=1`` on TPU dispatches to the fused Pallas kernel
-    (ops/pallas_ssm.py); this XLA formulation is the fallback and oracle.
+    Kernel dispatch: the fused Pallas SSD kernel is the DEFAULT on TPU —
+    measured end-to-end through the public hybrid generate it cuts flagship
+    prefill wall 9.1% with a 960-frame audio prefix (159.0 -> 144.5 ms)
+    and 5.6% at ordinary request lengths; streaming TTFA is unchanged
+    (decode-dominated).  tools/ssd_e2e_bench.py, r5; kernel-level history
+    in ops/pallas_ssm.py.  ``ZONOS_TPU_PALLAS_SSM=0`` pins this op to the
+    XLA formulation (which remains the CPU path and the numerical oracle);
+    note the kernel's different reduction order can flip near-tied greedy
+    argmax picks vs the XLA path — runs are self-consistent either way.
     """
-    from zonos_tpu.ops.attention import use_pallas
+    if os.environ.get("ZONOS_TPU_PALLAS_SSM") == "0":
+        use_kernel = False
+    else:
+        from zonos_tpu.utils.device import on_tpu
 
-    if use_pallas() and Bm.shape[2] == 1:
+        use_kernel = on_tpu()
+    if use_kernel and Bm.shape[2] == 1:
         from zonos_tpu.ops.pallas_ssm import ssd_chunked_pallas
 
         return ssd_chunked_pallas(x, dt, A, Bm, Cm, D, init_state=init_state, chunk=chunk)
