@@ -167,3 +167,41 @@ def test_word_phonology_review_fixes():
     assert "seɣir" in out and "siɣe" in out and "ɡera" in out and "xente" in out
     it = normalize_ipa(phonemize(["lo zio ringrazia"], ["it"])[0])
     assert "tsio" in it and "rinɡrattsja" in it
+
+
+def test_tier2_word_phonology_out_of_fixture():
+    """r5 tier-2 languages (nl/pl/tr/cs/ro): the word-phonology rules land
+    on dictionary-style output for words NOT in any fixture — these are
+    textbook phonology rules, not fixture fits (same discipline as the
+    de/pt spot checks above).  Comparisons are notation-normalized
+    (stress/length folds)."""
+    from zonos_tpu.text import phonemize
+    from zonos_tpu.text.metrics import normalize_ipa
+
+    def p(text, lang):
+        return normalize_ipa(phonemize([text], [lang])[0])
+
+    # Dutch: open-syllable lengthening, schwa suffix, final devoicing g->x
+    assert p("water", "nl") == "vatər"          # /ˈʋaːtər/ folded
+    assert p("dagen", "nl") == "daɣən"          # /ˈdaːɣən/
+    assert p("goed", "nl") == "ɣut"             # final d -> t
+    assert p("dag", "nl") == "dɑx"              # final g -> x
+    # Polish: nasal place assimilation, w-devoicing, final devoicing
+    assert p("ręka", "pl") == "rɛŋka"           # /ˈrɛŋka/
+    assert p("zęby", "pl") == "zɛmbɨ"           # /ˈzɛmbɨ/
+    assert p("więc", "pl") == "vjɛnts"          # /vjɛnt͡s/
+    assert p("łódź", "pl") == "wudʑ"            # /wut͡ɕ/ pre-devoicing spelling
+    assert p("teraz", "pl") == "tɛras"          # final z -> s
+    # Turkish: palatal k next to front vowels, dark l, ğ as length
+    assert p("ekmek", "tr") == "ecmec"          # /ecˈmec/
+    assert p("kitap", "tr") == "citap"          # /ciˈtap/
+    assert p("dağ", "tr") == "da"               # /daː/ folded
+    assert p("yol", "tr") == "joɫ"              # dark l after back vowel
+    # Czech: voiced ɦ, ě-palatalization, final devoicing
+    assert p("hrad", "cs") == "ɦrat"            # /ɦrat/
+    assert p("zpěv", "cs") == "zpjɛf"           # /zpjɛf/
+    assert p("muž", "cs") == "muʃ"              # /muʃ/
+    # Romanian: final asyllabic -i, intervocalic u -> w, soft c
+    assert p("lupi", "ro") == "lupʲ"            # /lupʲ/
+    assert p("douăzeci", "ro") == "dowəzetʃʲ"   # /dowəˈzetʃʲ/
+    assert p("orice", "ro") == "oritʃe"         # /ˈoritʃe/

@@ -28,7 +28,7 @@ def _no_unk(ipa: str) -> bool:
 
 
 def test_ja_basic_kana():
-    assert ja_to_ipa("こんにちは") == "konɲitɕiwa"  # particle は -> wa
+    assert ja_to_ipa("こんにちは") == "koɲɲitɕiwa"  # particle は -> wa; んに geminates
     assert ja_to_ipa("ありがとう") == "aɾiɡatoː"  # ou -> oː
     assert ja_to_ipa("がっこう") == "ɡakkoː"  # sokuon gemination + long o
 
@@ -53,7 +53,7 @@ def test_ja_kanji_lexicon_and_warning():
 
 def test_ja_end_to_end_phonemize():
     out = phonemize(["こんにちは世界"], ["ja"])[0]
-    assert out == "konɲitɕiwasekai"
+    assert out == "koɲɲitɕiwasekai"
     assert _no_unk(out)
 
 

@@ -212,6 +212,8 @@ def ja_to_ipa(text: str) -> str:
                 out.append("m")
             elif first in "kɡ":
                 out.append("ŋ")
+            elif first in "ɲ":
+                out.append("ɲ")  # んに -> ɲɲ (こんにちは -> koɲɲitɕiwa)
             else:
                 out.append("n")
         elif m == "ɯ" and out and out[-1] and out[-1][-1] in "oɯ":
@@ -372,6 +374,8 @@ def el_to_ipa(text: str) -> str:
             out.append("ʝ")
         elif ch == "χ" and nxt in _EL_FRONT:
             out.append("ç")
+        elif ch in "σς" and nxt and nxt in "βγδζλμνρ":
+            out.append("z")  # sigma voices before a voiced consonant (κόσμε)
         else:
             out.append(_EL_SINGLE.get(ch, ch))
         i += 1
