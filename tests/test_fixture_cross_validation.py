@@ -61,6 +61,8 @@ FUNCTION_WORDS: dict[str, set[str]] = {
     "tr": set(),
     "cs": {"jak", "se", "za", "je"},
     "ro": {"ce"},
+    "hu": {"hogy", "a", "az", "egy"},
+    "uk": {"як", "за", "мене"},
 }
 
 

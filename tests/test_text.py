@@ -205,3 +205,25 @@ def test_tier2_word_phonology_out_of_fixture():
     assert p("lupi", "ro") == "lupʲ"            # /lupʲ/
     assert p("douăzeci", "ro") == "dowəzetʃʲ"   # /dowəˈzetʃʲ/
     assert p("orice", "ro") == "oritʃe"         # /ˈoritʃe/
+
+
+def test_hu_uk_word_phonology_out_of_fixture():
+    """hu/uk (r5): out-of-fixture spot checks — geminate digraphs and
+    palatal stops for Hungarian; the Ukrainian-specific letter values
+    (ɦ, plain ɛ/ɪ, ɔ, iotation, soft sign, apostrophe) for Ukrainian."""
+    from zonos_tpu.text import phonemize
+    from zonos_tpu.text.metrics import normalize_ipa
+
+    def p(text, lang):
+        return normalize_ipa(phonemize([text], [lang])[0])
+
+    assert p("gyerek", "hu") == "ɟɛrɛk"        # /ˈɟɛrɛk/
+    assert p("asszony", "hu") == "ɒsoɲ"        # /ˈɒsːoɲ/ (ssz geminate, folded)
+    assert p("ember", "hu") == "ɛmbɛr"
+    assert p("hosszú", "hu") == "hosu"         # /ˈhosːuː/ folded
+
+    assert p("місто", "uk") == "mʲistɔ"        # і palatalizes; о = ɔ
+    assert p("їжа", "uk") == "jiʒa"            # ї = ji; ж plain postalveolar
+    assert p("пʼять", "uk") == "pjatʲ"         # apostrophe keeps the j
+    assert p("щастя", "uk") == "ʃtʃastʲa"      # щ = ʃtʃ cluster
+    assert p("сьогодні", "uk") == "sʲɔɦɔdnʲi"  # soft sign; г = ɦ

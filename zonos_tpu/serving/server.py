@@ -479,7 +479,10 @@ def main(argv=None) -> None:
                         max_queue=args.max_queue)
     if args.warmup:
         print("warming decode programs ...")
-        n = state.batcher.warmup()
+        # prefix bucket 43 = the long-form carry default: 'long': true
+        # segments continue from 43 carried frames, and an unwarmed prefix
+        # length is a multi-second XLA compile on the first long request
+        n = state.batcher.warmup(prefix_audio_lens=(0, 43))
         n += state.batcher.warmup_streaming()
         print(f"warmup done: {n} programs compiled")
     httpd = serve(state, args.host, args.port, background=False)

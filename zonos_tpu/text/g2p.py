@@ -433,6 +433,22 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
         ("e", "ɛ"), ("é", "ɛː"), ("á", "aː"), ("ó", "oː"), ("ú", "uː"),
         ("ů", "uː"), ("a", "a"), ("o", "o"), ("u", "u"), ("w", "v"),
     ],
+    "hu": [
+        # digraph geminates first, then digraphs, then letter geminates
+        ("ccs", "tʃː"), ("ssz", "sː"), ("zzs", "ʒː"), ("tty", "cː"),
+        ("ggy", "ɟː"), ("nny", "ɲː"), ("lly", "jː"),
+        ("dzs", "dʒ"), ("dz", "dz"),
+        ("cs", "tʃ"), ("sz", "s"), ("zs", "ʒ"), ("gy", "ɟ"), ("ty", "c"),
+        ("ny", "ɲ"), ("ly", "j"),
+        ("bb", "bː"), ("cc", "tsː"), ("dd", "dː"), ("ff", "fː"),
+        ("gg", "ɡː"), ("kk", "kː"), ("ll", "lː"), ("mm", "mː"),
+        ("nn", "nː"), ("pp", "pː"), ("rr", "rː"), ("ss", "ʃː"),
+        ("tt", "tː"), ("vv", "vː"), ("zz", "zː"),
+        ("s", "ʃ"), ("c", "ts"), ("g", "ɡ"), ("j", "j"), ("w", "v"),
+        ("a", "ɒ"), ("á", "aː"), ("e", "ɛ"), ("é", "eː"), ("i", "i"),
+        ("í", "iː"), ("o", "o"), ("ó", "oː"), ("ö", "ø"), ("ő", "øː"),
+        ("u", "u"), ("ú", "uː"), ("ü", "y"), ("ű", "yː"), ("y", "i"),
+    ],
     "ro": [
         ("ă", "ə"), ("â", "ɨ"), ("î", "ɨ"), ("ș", "ʃ"), ("ş", "ʃ"),
         ("ț", "ts"), ("ţ", "ts"), ("j", "ʒ"),

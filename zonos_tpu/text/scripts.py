@@ -324,6 +324,59 @@ def ru_to_ipa(text: str) -> str:
     return "".join(out)
 
 
+# Ukrainian: own converter (r5) — the phonology diverges from the
+# Russian-tuned map in ways a shared table cannot express: г is the voiced
+# glottal ɦ (ґ is the stop), е/и are plain ɛ/ɪ (no iotation, no reduction
+# anywhere — Ukrainian does not reduce unstressed vowels), о is open ɔ,
+# the hushers ж/ч/ш are plain postalveolar, and щ is the ʃtʃ cluster.
+# Broad espeak-style output (a, u, v for в); the dictionary
+# cross-validation pins each systematic divergence from Wiktionary's
+# narrow [ɑ ʊ w] per word (tests/fixtures/dictionary_ipa.json).
+
+_UK_CONS = {
+    "б": "b", "в": "v", "г": "ɦ", "ґ": "ɡ", "д": "d", "ж": "ʒ", "з": "z",
+    "й": "j", "к": "k", "л": "l", "м": "m", "н": "n", "п": "p", "р": "r",
+    "с": "s", "т": "t", "ф": "f", "х": "x", "ц": "ts", "ч": "tʃ",
+    "ш": "ʃ", "щ": "ʃtʃ",
+}
+_UK_HARD_VOWELS = {"а": "a", "о": "ɔ", "у": "u", "е": "ɛ", "и": "ɪ"}
+_UK_SOFT_VOWELS = {"я": "a", "ю": "u", "є": "ɛ", "і": "i"}
+_UK_NO_PALATAL = {"ж", "ч", "ш", "щ"}  # hushers stay hard
+
+
+def uk_to_ipa(text: str) -> str:
+    text = text.lower()
+    out: list[str] = []
+    prev_was_vowel_or_start = True
+    for i, ch in enumerate(text):
+        nxt = text[i + 1] if i + 1 < len(text) else ""
+        if ch in _UK_CONS:
+            out.append(_UK_CONS[ch])
+            if (nxt in _UK_SOFT_VOWELS or nxt == "ь") and ch not in _UK_NO_PALATAL:
+                out.append("ʲ")
+            prev_was_vowel_or_start = False
+        elif ch in _UK_HARD_VOWELS:
+            out.append(_UK_HARD_VOWELS[ch])
+            prev_was_vowel_or_start = True
+        elif ch in _UK_SOFT_VOWELS:
+            if prev_was_vowel_or_start:
+                out.append("j")
+            out.append(_UK_SOFT_VOWELS[ch])
+            prev_was_vowel_or_start = True
+        elif ch == "ї":
+            out.append("ji")
+            prev_was_vowel_or_start = True
+        elif ch in "ьъ":
+            prev_was_vowel_or_start = False
+        elif ch in "'’ʼ":
+            # apostrophe: the following iotated vowel keeps its j (м'я -> mja)
+            prev_was_vowel_or_start = True
+        else:
+            out.append(ch)
+            prev_was_vowel_or_start = not ch.isalpha()
+    return "".join(out)
+
+
 # ---------------------------------------------------------------------------
 # Greek
 # ---------------------------------------------------------------------------
@@ -594,7 +647,7 @@ def zh_to_ipa(text: str) -> str:
 SCRIPT_CONVERTERS = {
     "ja": ja_to_ipa,
     "ko": ko_to_ipa,
-    "ru": ru_to_ipa, "uk": ru_to_ipa, "bg": ru_to_ipa, "sr": ru_to_ipa,
+    "ru": ru_to_ipa, "uk": uk_to_ipa, "bg": ru_to_ipa, "sr": ru_to_ipa,
     "mk": ru_to_ipa, "be": ru_to_ipa, "ky": ru_to_ipa, "kk": ru_to_ipa,
     "tt": ru_to_ipa, "ba": ru_to_ipa,
     "el": el_to_ipa, "grc": el_to_ipa,
