@@ -12,8 +12,14 @@ the production front-end for the TPU framework.  Endpoints:
 JSON request fields for /v1/tts and /v1/tts/stream (all optional but text):
 ``text, language, speaker_id, emotion[8], fmax, pitch_std, speaking_rate,
 vqscore_8[8], ctc_loss, dnsmos_ovrl, speaker_noised, unconditional_keys[],
-cfg_scale, seed, max_seconds, sampling{temperature, top_p, top_k, min_p,
-linear, conf, quad, repetition_penalty, repetition_penalty_window}``.
+cfg_scale, seed, max_seconds, deadline_s, sampling{temperature, top_p,
+top_k, min_p, linear, conf, quad, repetition_penalty,
+repetition_penalty_window}``.  /v1/tts additionally takes ``long`` (split
+arbitrary-length text into duration-budgeted segments), with
+``max_segment_seconds``, ``carry`` (default true: sequential audio-prefix
+voice continuity, bit-identical to the offline ``zonos_tpu.longform``
+path; false: parallel segments + crossfade joins) and ``carry_frames``;
+/v1/tts/stream additionally takes ``chunk_frames`` and ``margin_frames``.
 
 Run: ``python -m zonos_tpu.serving [--port 8600] [--model ...]``.
 """
