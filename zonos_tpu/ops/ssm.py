@@ -50,12 +50,22 @@ def ssd_chunked(
     note the kernel's different reduction order can flip near-tied greedy
     argmax picks vs the XLA path — runs are self-consistent either way.
     """
-    if os.environ.get("ZONOS_TPU_PALLAS_SSM") == "0":
+    ssm_env = os.environ.get("ZONOS_TPU_PALLAS_SSM")
+    if ssm_env == "0":
         use_kernel = False
     else:
         from zonos_tpu.utils.device import on_tpu
 
         use_kernel = on_tpu()
+        # Default-path batch guard: past 16 rows Mosaic's scoped-VMEM stack
+        # for this kernel exceeds the 16 MB limit at flagship width
+        # (measured on v5e: 16 rows compile, 32 rows OOM by ~2 MB — the
+        # CFG-doubled batch-64 suite row hit it).  The measured end-to-end
+        # win is a small-batch prefill effect (long-form carry, voice
+        # clone, TTFA) anyway; large batches take the XLA formulation.
+        # ZONOS_TPU_PALLAS_SSM=1 bypasses the guard (explicit opt-in).
+        if use_kernel and ssm_env != "1" and x.shape[0] > 16:
+            use_kernel = False
     if use_kernel and Bm.shape[2] == 1:
         from zonos_tpu.ops.pallas_ssm import ssd_chunked_pallas
 
