@@ -120,7 +120,10 @@ def test_every_content_word_is_cross_validated(lang):
             t = token.lower()
             if t in functions:
                 continue
-            covered = any(w in t or t in w for w in entries)
+            # an entry may be CONTAINED in the token (compound phrases like
+            # ありがとうございます are covered by their parts) — but a token
+            # being a substring of an unrelated entry proves nothing
+            covered = any(w in t for w in entries)
             assert covered, (
                 f"{lang}: fixture word {token!r} has no dictionary entry "
                 f"and is not a registered function word"

@@ -620,10 +620,13 @@ def test_request_audio_independent_of_cobatched_peers(tiny_model):
     batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=1000.0,
                                 cond_pad_multiple=16, batch_buckets=(1, 2, 4))
     try:
+        # peer texts chosen to share the target's 32-token cond bucket so
+        # they genuinely co-batch (the scheduler groups by padded length)
         peers = [
-            TTSRequest(cond_dict=make_cond_dict(text=f"peer text {i}", speaker=_spk(i)),
+            TTSRequest(cond_dict=make_cond_dict(text=t, speaker=_spk(i)),
                        sampling=SamplingParams(), seed=777 + i, max_new_tokens=18)
-            for i in range(2)
+            for i, t in enumerate(["a different peer sentence",
+                                   "another peer utterance yes"])
         ]
         pendings = [batcher.submit(req(0, seed=1234))] + [batcher.submit(p) for p in peers]
         outs = [p.wait(timeout=900) for p in pendings]
@@ -633,6 +636,25 @@ def test_request_audio_independent_of_cobatched_peers(tiny_model):
         batcher.close()
 
     np.testing.assert_array_equal(solo, outs[0])
+
+    # a peer whose text crosses into a LONGER cond-pad bucket must not
+    # change the request's audio either: the scheduler groups by each
+    # request's own padded length (a longer co-batched peer would widen
+    # the prefix padding, and left PAD rows are attended)
+    batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=1000.0,
+                                cond_pad_multiple=16, batch_buckets=(1, 2, 4))
+    try:
+        long_peer = TTSRequest(
+            cond_dict=make_cond_dict(
+                text="this peer has a very much longer text that certainly "
+                     "lands in a larger conditioning pad bucket than ours",
+                speaker=_spk(7)),
+            sampling=SamplingParams(), seed=888, max_new_tokens=18)
+        pendings = [batcher.submit(req(0, seed=1234)), batcher.submit(long_peer)]
+        outs2 = [p.wait(timeout=900) for p in pendings]
+    finally:
+        batcher.close()
+    np.testing.assert_array_equal(solo, outs2[0])
 
 
 def _clone(model):

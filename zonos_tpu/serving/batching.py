@@ -120,9 +120,25 @@ def build_batch_prefix(model, cond_dicts: list[dict], pad_multiple: int = 32) ->
 # ---------------------------------------------------------------------------
 
 
+def _row_inputs(batch: list, Bp: int):
+    """Per-request seeds and (optional) stacked audio-prefix codes [Bp,K,P],
+    padded to the batch bucket by repeating the last row (padding rows are
+    muted/dropped on the host).  Shared by the sync and streaming paths."""
+    seeds = [int(r.seed) for r, _ in batch]
+    seeds += [seeds[-1]] * (Bp - len(batch))
+    apc = None
+    if batch[0][0].audio_prefix_codes is not None:
+        rows = [np.asarray(r.audio_prefix_codes, np.int32) for r, _ in batch]
+        apc = np.stack(rows + [rows[-1]] * (Bp - len(batch)))
+    return seeds, apc
+
+
 @dataclasses.dataclass(frozen=True)
 class BatchKey:
-    """Requests sharing a key may run in one device batch.
+    """Requests sharing a key may run in one device batch — the scheduler
+    additionally groups by each request's own padded conditioning length
+    (``ContinuousBatcher._cond_bucket``), so co-batching never changes a
+    request's prefix padding and its audio stays independent of its peers.
 
     Duration is NOT part of the key: per-sample frame caps are a traced
     input of the decode program (``Zonos.generate(step_limits=...)``), so a
@@ -594,6 +610,28 @@ class ContinuousBatcher:
             s["ttfa_p95_s"] = round(ttfa[min(len(ttfa) - 1, int(len(ttfa) * 0.95))], 3)
         return s
 
+    def _cond_bucket(self, request) -> int:
+        """The request's OWN padded conditioning length (phoneme tokens
+        rounded up to cond_pad_multiple).  Part of the grouping key: rows
+        in one device batch share one padded length, so if requests with
+        different buckets co-batched, a longer peer would change a
+        request's prefix (left PAD rows are attended) and therefore its
+        audio — grouping by bucket keeps every request's output
+        batch-composition-independent (the per-row PRNG's contract).
+        Cached on the request; phonemize is a pure host computation."""
+        cached = getattr(request, "_cond_bucket", None)
+        if cached is not None:
+            return cached
+        try:
+            texts, langs = request.cond_dict["espeak"]
+            ids, _ = tokenize_phonemes(phonemize(list(texts), list(langs)))
+            m = self.cond_pad_multiple
+            bucket = -(-ids.shape[1] // m) * m
+        except Exception:  # malformed request: grouped; validation fails it
+            bucket = -1
+        request._cond_bucket = bucket
+        return bucket
+
     # -- scheduler loop ------------------------------------------------------
     def _run(self):
         holdback: list = []  # key-mismatched items awaiting the next window
@@ -607,10 +645,12 @@ class ContinuousBatcher:
                     continue
             batch = [(first, first_pending)]
             key = first.key
+            gkey = (key, self._cond_bucket(first))
             deadline = time.monotonic() + self.max_wait_ms / 1e3
             while len(batch) < self.max_batch:
                 # drain compatible holdbacks first
-                taken = [i for i, (r, _) in enumerate(holdback) if r.key == key]
+                taken = [i for i, (r, _) in enumerate(holdback)
+                         if (r.key, self._cond_bucket(r)) == gkey]
                 for i in reversed(taken):
                     if len(batch) < self.max_batch:
                         batch.append(holdback.pop(i))
@@ -621,7 +661,7 @@ class ContinuousBatcher:
                     item = self._q.get(timeout=remain)
                 except queue.Empty:
                     break
-                if item[0].key == key:
+                if (item[0].key, self._cond_bucket(item[0])) == gkey:
                     batch.append(item)
                 else:
                     holdback.append(item)
@@ -702,14 +742,7 @@ class ContinuousBatcher:
                 # per-request seeds: each row's stream is keyed by its own
                 # request seed, so a request's audio is bit-identical solo
                 # or co-batched (padding rows reuse the last seed; dropped)
-                seeds = [int(r.seed) for r, _ in batch]
-                seeds += [seeds[-1]] * (Bp - B)
-                apc = None
-                if key.prefix_len > 0:
-                    apc = np.stack([np.asarray(r.audio_prefix_codes, np.int32)
-                                    for r, _ in batch]
-                                   + [np.asarray(batch[-1][0].audio_prefix_codes,
-                                                 np.int32)] * (Bp - B))
+                seeds, apc = _row_inputs(batch, Bp)
                 codes = self.model.generate(
                     prefix,
                     audio_prefix_codes=apc,
@@ -789,14 +822,7 @@ class ContinuousBatcher:
             t0 = time.monotonic()
             with self.device_lock:
                 prefix = build_batch_prefix(self.model, cond_dicts, self.cond_pad_multiple)
-            seeds = [int(r.seed) for r, _ in batch]
-            seeds += [seeds[-1]] * (Bp - B)  # padding rows: any seed, muted
-            apc = None
-            if key.prefix_len > 0:
-                apc = np.stack([np.asarray(r.audio_prefix_codes, np.int32)
-                                for r, _ in batch]
-                               + [np.asarray(batch[-1][0].audio_prefix_codes,
-                                             np.int32)] * (Bp - B))
+            seeds, apc = _row_inputs(batch, Bp)
             gen = self.model.stream_generate_batch(
                 prefix,
                 audio_prefix_codes=apc,

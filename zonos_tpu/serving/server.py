@@ -96,24 +96,32 @@ class ServerState:
         self.batcher.close()
 
     # -- request -> framework objects ------------------------------------
+    def _speaker_from_json(self, body: dict):
+        sid = body.get("speaker_id")
+        if sid is None:
+            return None
+        speaker = self.speakers.get(sid)
+        if speaker is None:
+            raise ValueError(f"unknown speaker_id {sid!r}; POST /v1/speakers first")
+        return speaker
+
+    @staticmethod
+    def _cond_kwargs_from_json(body: dict, with_language: bool = True) -> dict:
+        keys = ("emotion", "fmax", "pitch_std", "speaking_rate",
+                "vqscore_8", "ctc_loss", "dnsmos_ovrl", "speaker_noised")
+        if with_language:
+            keys = ("language",) + keys
+        kwargs = {k: body[k] for k in keys if k in body}
+        if "unconditional_keys" in body:
+            kwargs["unconditional_keys"] = frozenset(body["unconditional_keys"])
+        return kwargs
+
     def cond_dict_from_json(self, body: dict) -> dict:
         text = body.get("text")
         if not text or not isinstance(text, str):
             raise ValueError("'text' (non-empty string) is required")
-        speaker = None
-        sid = body.get("speaker_id")
-        if sid is not None:
-            speaker = self.speakers.get(sid)
-            if speaker is None:
-                raise ValueError(f"unknown speaker_id {sid!r}; POST /v1/speakers first")
-        kwargs = {}
-        for k in ("language", "emotion", "fmax", "pitch_std", "speaking_rate",
-                  "vqscore_8", "ctc_loss", "dnsmos_ovrl", "speaker_noised"):
-            if k in body:
-                kwargs[k] = body[k]
-        if "unconditional_keys" in body:
-            kwargs["unconditional_keys"] = frozenset(body["unconditional_keys"])
-        return make_cond_dict(text=text, speaker=speaker, **kwargs)
+        return make_cond_dict(text=text, speaker=self._speaker_from_json(body),
+                              **self._cond_kwargs_from_json(body))
 
     def request_from_json(self, body: dict) -> TTSRequest:
         sampling = SamplingParams(**body.get("sampling", {}))
@@ -161,7 +169,10 @@ class ServerState:
         continuous batcher (segments still co-batch with other traffic;
         carry segments share one prefix-length bucket).  Output is
         bit-identical to the offline path under the same seed
-        (tests/test_serving.py).
+        (tests/test_serving.py).  A non-default ``carry_frames`` (or a
+        first segment shorter than it) forms its own prefix-length
+        bucket — compiled once at request time; warm custom values ahead
+        via ``batcher.warmup(prefix_audio_lens=...)``.
 
         ``"carry": false``: the round-4 parallel mode — all segments are
         submitted up front (they batch with each other), decoded raw, and
@@ -196,10 +207,23 @@ class ServerState:
             {**body, "max_seconds": min(budget * 1.2 + 1.0, 30.0)})
         carry_frames = int(body.get("carry_frames", 43))
         max_tokens = program_frames_bucket(base.max_new_tokens)
+        # ONE deadline for the whole long-form request: segments run
+        # sequentially, so each gets the REMAINING time, not a fresh window
+        # (re-anchoring per segment would let a 10-segment request overrun
+        # a 5 s deadline 10-fold)
+        import time as _time
+
+        deadline_abs = (None if base.deadline_s is None
+                        else _time.monotonic() + float(base.deadline_s))
 
         def gen_via_batcher(cond, prefix_codes, seg_seed, max_new_tokens, _cb):
             from zonos_tpu.serving.batching import TTSRequest
 
+            remaining = None
+            if deadline_abs is not None:
+                remaining = deadline_abs - _time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError("deadline_s exceeded during long-form synthesis")
             req = TTSRequest(
                 cond_dict=cond,
                 sampling=base.sampling,
@@ -208,26 +232,17 @@ class ServerState:
                 max_new_tokens=max_new_tokens,
                 codes_only=True,
                 audio_prefix_codes=prefix_codes,
-                deadline_s=base.deadline_s,
+                deadline_s=remaining,
             )
-            return self.batcher.submit(req).wait(timeout=600)
+            timeout = 600.0 if remaining is None else min(600.0, remaining + 5.0)
+            return self.batcher.submit(req).wait(timeout=timeout)
 
         def decode_with_lock(dec_in):
             with self.device_lock:
                 return np.asarray(self.model.autoencoder.decode(dec_in[None, ...])[0, 0])
 
-        speaker = None
-        sid = body.get("speaker_id")
-        if sid is not None:
-            speaker = self.speakers.get(sid)
-            if speaker is None:
-                raise ValueError(f"unknown speaker_id {sid!r}; POST /v1/speakers first")
-        overrides = {k: body[k] for k in
-                     ("emotion", "fmax", "pitch_std", "speaking_rate",
-                      "vqscore_8", "ctc_loss", "dnsmos_ovrl", "speaker_noised")
-                     if k in body}
-        if "unconditional_keys" in body:
-            overrides["unconditional_keys"] = frozenset(body["unconditional_keys"])
+        speaker = self._speaker_from_json(body)
+        overrides = self._cond_kwargs_from_json(body, with_language=False)
         wav, _codes = longform.synthesize_long(
             self.model,
             body["text"],

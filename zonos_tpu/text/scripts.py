@@ -367,6 +367,10 @@ def uk_to_ipa(text: str) -> str:
             out.append("ji")
             prev_was_vowel_or_start = True
         elif ch in "ьъ":
+            # softening sign; before an iotated vowel it also separates, so
+            # the j survives (мільярд -> mʲilʲjard) — ьо has no j (льо -> lʲɔ)
+            if ch == "ь" and nxt in _UK_SOFT_VOWELS and nxt != "і":
+                out.append("j")
             prev_was_vowel_or_start = False
         elif ch in "'’ʼ":
             # apostrophe: the following iotated vowel keeps its j (м'я -> mja)
