@@ -62,6 +62,7 @@ FUNCTION_WORDS: dict[str, set[str]] = {
     "cs": {"jak", "se", "za", "je"},
     "ro": {"ce"},
     "hu": {"hogy", "a", "az", "egy"},
+    "fi": {"on", "mitä"},
     "uk": {"як", "за", "мене"},
 }
 

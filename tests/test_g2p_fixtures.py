@@ -35,7 +35,7 @@ PER_CEILING = {
     "en-us": 0.10, "es": 0.03, "de": 0.06, "it": 0.04, "fr-fr": 0.03,
     "pt": 0.04, "ja": 0.03, "ko": 0.07, "ru": 0.03, "el": 0.03, "hi": 0.03,
     "nl": 0.03, "pl": 0.03, "tr": 0.03, "cs": 0.03, "ro": 0.03,
-    "hu": 0.03, "uk": 0.03,
+    "hu": 0.03, "uk": 0.03, "fi": 0.03,
 }
 OVERALL_CEILING = 0.025  # measured 0.012 (r5)
 

@@ -227,3 +227,17 @@ def test_hu_uk_word_phonology_out_of_fixture():
     assert p("пʼять", "uk") == "pjatʲ"         # apostrophe keeps the j
     assert p("щастя", "uk") == "ʃtʃastʲa"      # щ = ʃtʃ cluster
     assert p("сьогодні", "uk") == "sʲɔɦɔdnʲi"  # soft sign; г = ɦ
+
+
+def test_fi_word_phonology_out_of_fixture():
+    """fi (r5): length digraphs, ŋ clusters, front/back vowel values."""
+    from zonos_tpu.text import phonemize
+    from zonos_tpu.text.metrics import normalize_ipa
+
+    def p(text):
+        return normalize_ipa(phonemize([text], ["fi"])[0])
+
+    assert p("kukka") == "kukɑ"       # /ˈkukːɑ/ folded geminate
+    assert p("äiti") == "æiti"        # /ˈæi̯ti/
+    assert p("kaupunki") == "kɑupuŋki"  # nk -> ŋk
+    assert p("hyvä") == "hyvæ"        # y/æ front values (ʋ notation-folds to v)

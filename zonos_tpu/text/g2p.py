@@ -433,6 +433,17 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
         ("e", "ɛ"), ("é", "ɛː"), ("á", "aː"), ("ó", "oː"), ("ú", "uː"),
         ("ů", "uː"), ("a", "a"), ("o", "o"), ("u", "u"), ("w", "v"),
     ],
+    "fi": [
+        # Finnish is near-1:1: doubled letters are length (vowels and
+        # consonants both); a is back ɑ, ä/ö front æ/ø (Wiktionary notation)
+        ("aa", "ɑː"), ("ee", "eː"), ("ii", "iː"), ("oo", "oː"),
+        ("uu", "uː"), ("yy", "yː"), ("ää", "æː"), ("öö", "øː"),
+        ("kk", "kː"), ("pp", "pː"), ("tt", "tː"), ("ll", "lː"),
+        ("mm", "mː"), ("nn", "nː"), ("rr", "rː"), ("ss", "sː"),
+        ("nk", "ŋk"), ("ng", "ŋː"),
+        ("a", "ɑ"), ("ä", "æ"), ("ö", "ø"), ("y", "y"), ("v", "ʋ"),
+        ("j", "j"), ("g", "ɡ"), ("w", "ʋ"), ("c", "k"), ("å", "oː"),
+    ],
     "hu": [
         # digraph geminates first, then digraphs, then letter geminates
         ("ccs", "tʃː"), ("ssz", "sː"), ("zzs", "ʒː"), ("tty", "cː"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 _FOLD = str.maketrans({
     "ɹ": "r", "ɾ": "r", "ʁ": "r", "ɐ": "ə", "g": "ɡ", "ʋ": "v",
     "ˈ": None, "ˌ": None, "ː": None, "ˑ": None, "̃": None, "͡": None,
+    "̯": None, "̩": None,  # non-syllabic / syllabic diacritics: notation
     ".": None, " ": None, "\t": None, "\n": None,
 })
 _LIGATURES = [("ʧ", "tʃ"), ("ʤ", "dʒ"), ("ʦ", "ts"), ("ʣ", "dz")]
