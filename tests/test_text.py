@@ -241,3 +241,16 @@ def test_fi_word_phonology_out_of_fixture():
     assert p("äiti") == "æiti"        # /ˈæi̯ti/
     assert p("kaupunki") == "kɑupuŋki"  # nk -> ŋk
     assert p("hyvä") == "hyvæ"        # y/æ front values (ʋ notation-folds to v)
+
+
+def test_fi_geminate_and_loan_letters():
+    """r5 review fixes: nkk clusters, the full geminate set, and loan x."""
+    from zonos_tpu.text import phonemize
+    from zonos_tpu.text.metrics import normalize_ipa
+
+    def p(text):
+        return normalize_ipa(phonemize([text], ["fi"])[0])
+
+    assert p("pankki") == "pɑŋki"    # /ˈpɑŋkːi/ — nkk is ŋ + long k
+    assert p("addikti") == "ɑdikti"  # dd geminate folds to one phone
+    assert p("taxi") == "tɑksi"      # loan x -> ks (not the IPA fricative)

@@ -440,9 +440,12 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
         ("uu", "uː"), ("yy", "yː"), ("ää", "æː"), ("öö", "øː"),
         ("kk", "kː"), ("pp", "pː"), ("tt", "tː"), ("ll", "lː"),
         ("mm", "mː"), ("nn", "nː"), ("rr", "rː"), ("ss", "sː"),
-        ("nk", "ŋk"), ("ng", "ŋː"),
+        ("hh", "hː"), ("dd", "dː"), ("gg", "ɡː"), ("bb", "bː"),
+        ("ff", "fː"), ("vv", "ʋː"), ("jj", "jː"),
+        ("nkk", "ŋkː"), ("nk", "ŋk"), ("ng", "ŋː"),
         ("a", "ɑ"), ("ä", "æ"), ("ö", "ø"), ("y", "y"), ("v", "ʋ"),
         ("j", "j"), ("g", "ɡ"), ("w", "ʋ"), ("c", "k"), ("å", "oː"),
+        ("x", "ks"),
     ],
     "hu": [
         # digraph geminates first, then digraphs, then letter geminates

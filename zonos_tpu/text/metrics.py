@@ -14,7 +14,10 @@ from __future__ import annotations
 _FOLD = str.maketrans({
     "ɹ": "r", "ɾ": "r", "ʁ": "r", "ɐ": "ə", "g": "ɡ", "ʋ": "v",
     "ˈ": None, "ˌ": None, "ː": None, "ˑ": None, "̃": None, "͡": None,
-    "̯": None, "̩": None,  # non-syllabic / syllabic diacritics: notation
+    "̯": None,  # non-syllabic diphthong diacritic (uo̯): notation only —
+    # the SYLLABIC mark (U+0329) is deliberately NOT folded: the engine
+    # never emits syllabicity, so folding it would silently mask a real
+    # phonological disagreement against a future fixture (e.g. cs vl̩k)
     ".": None, " ": None, "\t": None, "\n": None,
 })
 _LIGATURES = [("ʧ", "tʃ"), ("ʤ", "dʒ"), ("ʦ", "ts"), ("ʣ", "dz")]
