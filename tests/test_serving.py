@@ -348,6 +348,11 @@ def test_warmup_precompiles_serving_programs(tiny_model):
         n = batcher.warmup(cond_lens=(32,), max_new_tokens=1200)
         # 2 batch buckets x 1 cond_len x (1 init + >=2 growth-bucket loops)
         assert n >= 6
+        # prefix buckets (long-form carry): each length adds its own
+        # program family
+        n2 = batcher.warmup(cond_lens=(32,), max_new_tokens=512,
+                            prefix_audio_lens=(0, 8))
+        assert n2 >= 2 * n // 3  # two prefix lengths x buckets
     finally:
         batcher.close()
 
