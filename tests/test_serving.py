@@ -189,10 +189,15 @@ def test_late_stream_interleaves_chunkwise(tiny_model):
     batcher = ContinuousBatcher(tiny_model, max_batch=4, max_wait_ms=50.0,
                                 cond_pad_multiple=16, batch_buckets=(1, 2, 4))
     try:
+        # 256 tokens = ~32 decode chunks: even on a heavily loaded host the
+        # long stream is still mid-flight while the late stream's first
+        # chunk (prep + one 8-frame decode) is produced (the 64-token
+        # version flaked when host contention stretched the late prep past
+        # the long stream's remaining ~7 chunks)
         long_req = StreamRequest(
             cond_dict=make_cond_dict(text="a long running stream", speaker=_spk(0)),
             sampling=SamplingParams.greedy(),
-            max_new_tokens=64, chunk_frames=8, margin_frames=12)
+            max_new_tokens=256, chunk_frames=8, margin_frames=12)
         h_long = batcher.submit_stream(long_req)
         long_times: list[float] = []
         late_first: list[float] = []
