@@ -210,3 +210,13 @@ def test_accented_latin_words_not_split():
     # the pre-fix ASCII word regex split 'días' at the í
     out = phonemize(["Buenos días"], ["es"])[0]
     assert "dˈias" in out
+
+
+def test_ko_obstruent_nasalization():
+    """비음화: a stop tail before a nasal onset becomes the homorganic
+    nasal — the most audible Korean sandhi after liaison."""
+    from zonos_tpu.text.scripts import ko_to_ipa
+
+    assert ko_to_ipa("합니다") == "hamnida"   # p + n -> m n
+    assert ko_to_ipa("국물") == "kuŋmul"      # k + m -> ŋ m
+    assert ko_to_ipa("감사합니다") == "kamsahamnida"

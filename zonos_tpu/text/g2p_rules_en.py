@@ -114,7 +114,9 @@ LEXICON: dict[str, str] = {
     "family": "F AE1 M AH0 L IY0", "it's": "IH1 T S", "body": "B AA1 D IY0",
     "music": "M Y UW1 Z IH0 K", "color": "K AH1 L ER0", "stand": "S T AE1 N D",
     "sun": "S AH1 N", "question": "K W EH1 S CH AH0 N", "fish": "F IH1 SH",
-    "area": "EH1 R IY0 AH0", "mark": "M AA1 R K", "dog": "D AO1 G",
+    "area": "EH1 R IY0 AH0", "mark": "M AA1 R K", "dog": "D AA1 G",
+    # dog: cot-caught-merged GA (espeak en-us emits ɑː; Wiktionary lists /dɑɡ/)
+    "synthesis": "S IH1 N TH AH0 S IH0 S",
     "horse": "HH AO1 R S", "bird": "B ER1 D", "problem": "P R AA1 B L AH0 M",
     "complete": "K AH0 M P L IY1 T", "room": "R UW1 M", "knew": "N UW1",
     "since": "S IH1 N S", "ever": "EH1 V ER0", "piece": "P IY1 S",

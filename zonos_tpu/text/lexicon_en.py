@@ -857,7 +857,7 @@ distribution D IH2 S T R AH0 B Y UW1 SH AH0 N
 district D IH1 S T R IH0 K T
 doctor D AA1 K T ER0
 document D AA1 K Y AH0 M EH0 N T
-dog D AO1 G
+dog D AA1 G
 door D AO1 R
 dozen D AH1 Z AH0 N
 drama D R AA1 M AH0

@@ -267,6 +267,10 @@ def ko_to_ipa(text: str) -> str:
             sylls[j + 1] = (tail if tail != "ŋ" else "", nxt[1], nxt[2])
             if tail != "ŋ":
                 tail = ""
+        # obstruent nasalization (비음화): a stop tail before a nasal onset
+        # becomes the homorganic nasal (합니다 -> hamnida, 국물 -> kuŋmul)
+        if tail in ("p", "t", "k") and isinstance(nxt, tuple) and nxt[0] in ("n", "m"):
+            tail = {"p": "m", "t": "n", "k": "ŋ"}[tail]
         if prev_sonorant and lead in _VOICED:
             lead = _VOICED[lead]  # intervocalic voicing: 한국 -> hanɡuk
         out.append(lead + vowel + tail)
