@@ -254,3 +254,20 @@ def test_fi_geminate_and_loan_letters():
     assert p("pankki") == "pɑŋki"    # /ˈpɑŋkːi/ — nkk is ŋ + long k
     assert p("addikti") == "ɑdikti"  # dd geminate folds to one phone
     assert p("taxi") == "tɑksi"      # loan x -> ks (not the IPA fricative)
+
+
+def test_de_late_r5_rules():
+    """de late-r5 fixes: positional st/sp, closed h-lengthened vowels,
+    s-voicing (all out-of-fixture words)."""
+    from zonos_tpu.text import phonemize
+    from zonos_tpu.text.metrics import normalize_ipa
+
+    def p(text):
+        return normalize_ipa(phonemize([text], ["de"])[0])
+
+    assert p("ist") == "ɪst"          # NOT ɪʃt — st is ʃt word-initially only
+    assert p("Stein") == "ʃtaɪn"
+    assert p("geht") == "ɡet"         # closed e (ɡeːt, length folds)
+    assert p("Sohn") == "zon"         # s voices; closed o
+    assert p("Zeit") == "tsaɪt"       # orthographic z unaffected by marker
+    assert p("zusammen") == "tsʊzamən"  # intervocalic s -> z

@@ -321,10 +321,17 @@ _PHONEMIC_TABLES: dict[str, list[tuple[str, str]]] = {
     ],
     "de": [
         ("sch", "ʃ"), ("tsch", "ʧ"), ("ch", "ç"), ("ei", "aɪ"), ("ie", "iː"),
-        ("eu", "ɔʏ"), ("äu", "ɔʏ"), ("au", "aʊ"), ("st", "ʃt"), ("sp", "ʃp"),
-        ("ß", "s"), ("w", "v"), ("v", "f"), ("z", "ts"), ("j", "j"),
+        ("eu", "ɔʏ"), ("äu", "ɔʏ"), ("au", "aʊ"),
+        # st/sp are ʃt/ʃp word-initially ONLY (_word_pre injects the ʃ;
+        # ist/Fenster keep plain st — the old blanket rule said ɪʃt)
+        ("ß", "s"), ("w", "v"), ("v", "f"), ("z", "ts"), ("ẑ", "z"), ("j", "j"),
         ("ä", "ɛ"), ("ö", "ø"), ("ü", "y"), ("g", "ɡ"), ("a", "a"),
         ("e", "ɛ"), ("i", "ɪ"), ("o", "ɔ"), ("u", "ʊ"), ("qu", "kv"),
+        # identity entries for the CLOSED long vowels _word_pre injects
+        # (h-lengthening) — without them the table's lax single-letter
+        # rules would re-map the injected quality (geːt -> ɡɛːt)
+        ("aː", "aː"), ("eː", "eː"), ("iː", "iː"), ("oː", "oː"),
+        ("uː", "uː"), ("ɛː", "ɛː"), ("øː", "øː"), ("yː", "yː"),
     ],
     "it": [
         # ci/gi/gli/sci before a vowel: the i is a silent palatal marker
@@ -573,8 +580,19 @@ def _word_pre(word: str, lang: str) -> str:
         # -chen diminutive keeps ç regardless of the preceding letter
         if len(word) > 4 and word.endswith("chen"):
             word = word[:-4] + "çən"
-        # lengthening h is silent (geht -> ɡet); vowel quality via digraphs
-        word = re.sub(r"([aeiouäöüy])h(?=[^aeiouäöü]|$)", r"\1", word)
+        # st/sp -> ʃt/ʃp word-initially only (Stein -> ʃtaɪn, ist -> ɪst)
+        word = re.sub(r"^s(?=[tp])", "ʃ", word)
+        # s voices to z before a vowel word-initially and between vowels
+        # (Sohn -> zoːn, Rose -> roːzə) — via the ẑ marker, since
+        # orthographic z is the affricate ts; coda/cluster s stays voiceless
+        word = re.sub(r"^s(?=[aeiouäöüy])", "ẑ", word)
+        word = re.sub(r"(?<=[aeiouäöüy])s(?=[aeiouäöüy])", "ẑ", word)
+        # lengthening h: silent, and the vowel takes its CLOSED long
+        # quality (geht -> ɡeːt, not the table's lax ɛ; Sohn -> zoːn)
+        _DE_LONG = {"a": "aː", "e": "eː", "i": "iː", "o": "oː", "u": "uː",
+                    "ä": "ɛː", "ö": "øː", "ü": "yː", "y": "yː"}
+        word = re.sub(r"([aeiouäöüy])h(?=[^aeiouäöü]|$)",
+                      lambda m: _DE_LONG[m.group(1)], word)
         # degeminate double consonants (Wetter -> vɛtə, not vɛttɛr)
         word = re.sub(r"([bcdfgklmnprstv])\1", r"\1", word)
         # velar nasal: -ng is ŋ (Zeitung), not n+ɡ
